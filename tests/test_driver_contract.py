@@ -1,0 +1,49 @@
+"""Oracle-differential tests — the primary gate (SURVEY.md §5.1).
+
+Mirrors the driver: every query with an oracle must match DuckDB at sf0.01
+on row count + schema + order-insensitive values; oracle-less queries must
+at least run and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare, duckdb_conn
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, sf_dir, duck, name):
+    spark_df = QUERIES[name](spark, sf_dir)
+    oracle_df = duck.execute(ORACLES[name]).df()
+    problems = compare(spark_df, oracle_df)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns
+    df.limit(5).collect()  # plan executes

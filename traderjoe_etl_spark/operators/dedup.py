@@ -1,0 +1,171 @@
+"""Deduplication operators for large-scale corpus curation
+(SURVEY.md §2B ◆ — the north-star LLM-data-pipeline mandate).
+
+Four tiers, all shuffle-disciplined:
+
+- exact:   group on a 128-bit content hash (shuffle keys are 16 bytes, not
+           documents);
+- minhash: shingle → minhash signature → LSH band buckets → within-bucket
+           pair join (candidate pairs only — never an all-pairs product);
+- simhash: 64-bit sign-of-weighted-sum fingerprint; near-dups share
+           fingerprints at small Hamming distance;
+- ngram Jaccard: exact similarity for a given candidate-pair set (the
+           verifier behind minhash).
+
+Everything is built-in expressions (xxhash64, higher-order array fns) —
+no Python UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per distinct content.
+
+    Groups on ``md5`` of the content instead of the content itself so the
+    shuffle moves 16-byte keys; the surviving representative rows are
+    re-attached by id (semi-join back). At 100 TB this is the difference
+    between shuffling the corpus and shuffling its fingerprints.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    winners = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def _word_shingles(text_col: str | Column, k: int = 3) -> Column:
+    """k-word shingles as an array column (lowercased, whitespace-split)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(tokens)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, min of seeded xxhash64 over shingles.
+
+    ``xxhash64(shingle, seed)`` is a distinct hash function per seed (the
+    standard 'k independent permutations' approximation); array of mins is
+    the signature. Pure higher-order expressions, row-local (no shuffle).
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    signature (num_hashes mins) → ``bands`` bands of ``num_hashes/bands``
+    values → hash each band → explode → self-join on (band_idx, band_hash)
+    with ``id_a < id_b``. Two docs collide in ≥1 band ⇒ candidate pair.
+    With 64 hashes / 16 bands (r=4): P(collide) ≈ 1-(1-j⁴)¹⁶ — steep around
+    Jaccard ≈ 0.5.
+
+    The join key is (band_idx, band_hash) so only same-bucket docs meet —
+    the all-pairs O(n²) product never materializes. Returns distinct
+    (id_a, id_b, n_bands_shared).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(_word_shingles(text_col, k=shingle_k), num_hashes=num_hashes)
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    band_entries = with_sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.hash(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("__id", "band.band_idx", "band.band_hash")
+
+    a = band_entries.select(
+        F.col("__id").alias("id_a"), "band_idx", "band_hash"
+    )
+    b = band_entries.select(
+        F.col("__id").alias("id_b"), "band_idx", "band_hash"
+    )
+    pairs = a.join(b, ["band_idx", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_shared"))
+
+
+def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode tokens → xxhash64 → per-bit signed vote (+1/-1) summed per doc →
+    sign → reassembled fingerprint. One shuffle on the doc id; the 64
+    conditional sums are one partial-aggregated pass.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given candidate pairs
+    (``pairs``: columns id_a, id_b). |A∩B| / |A∪B| via array set ops after
+    joining each side's distinct shingle set — only candidate pairs pay the
+    set-intersection cost."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(_word_shingles(text_col, k=shingle_k)).alias("__sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.nullif(union, F.lit(0))).alias("jaccard"),
+    )

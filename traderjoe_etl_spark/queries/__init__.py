@@ -1,0 +1,59 @@
+"""Query registry backing the driver contract (``__spark_entry__.py``).
+
+Each engine operator from SURVEY.md §2B ships as a named query: a callable
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) an equivalent
+ANSI-SQL oracle string for DuckDB. Registration is decorator-based so each
+category module stays self-contained.
+
+Oracle-parity rules (SURVEY.md §5.1, driver contract):
+- alias every computed column IDENTICALLY in Spark and SQL;
+- round double aggregates on BOTH sides (float sums are order-dependent
+  across engines; rounding far above the ~1e-9 relative error makes the
+  value hash stable);
+- render timestamps as formatted strings (Spark session TZ pinned to UTC =
+  DuckDB's naive-UTC);
+- deterministic result SETS: every top-k/argmax query orders by a unique
+  tie-breaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register an engine query (decorator)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (idempotent)."""
+    from . import llm_ops, reference_semantics, relational  # noqa: F401
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all()
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

@@ -1,0 +1,192 @@
+"""LLM-data-pipeline operators (SURVEY.md §2B ◆, BASELINE north star):
+dedup, text analysis, similarity search over the driver's ``documents`` /
+``embeddings`` tables.
+
+These are first-class engine operators, not demos — each is shaped for the
+100-TB case (hash-partitioned groupBys, broadcast-free band joins, no
+driver-side loops); the heavy variants live in operators/dedup.py and
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id — pinned, unlike
+    dropDuplicates' arbitrary pick) per distinct text, with copy counts.
+    Hash-groupBy on the text; at 100 TB group on a 128-bit hash of the text
+    instead to shrink shuffle keys (see operators/dedup.py exact_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "text", "n_copies")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                   AS n_docs,
+           round(avg(n_chars), 4)     AS avg_chars,
+           max(n_chars)               AS max_chars,
+           round(avg(length(text)), 4) AS avg_len
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source) — the aggregate shape of corpus
+    curation dashboards."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document (SURVEY.md §2B text analysis
+    ◆). Pure column expressions — no UDF, stays in codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces,
+               length(regexp_split_to_array(lower(text), '\\bthe\\b')) - 1 AS n_stopword
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 4)   AS avg_token_len,
+           round(CAST(n_stopword AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio
+    FROM scored
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token length + stopword ratio per doc
+    (length/punct/stopword-ratio family, SURVEY.md §2B ◆). All built-ins."""
+    from ..functions.scrub import safe_div
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_chars = F.length("text")
+    n_stop = F.size(F.split(F.lower("text"), r"\bthe\b")) - 1
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_stop.alias("n_stopword"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(safe_div(F.col("n_chars").cast("double"), F.col("n_tokens")), 4).alias("avg_token_len"),
+        F.round(safe_div(F.col("n_stopword").cast("double"), F.col("n_tokens")), 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 4) AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms over the embedding array column via higher-order functions
+    (aggregate/transform) — JVM-side vector math, no Python UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.sqrt(sq_sum)), 4).alias("avg_l2_norm"),
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding, q.qv), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine FROM sims
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector: broadcast the
+    query, higher-order dot product + norms, TakeOrderedAndProject. This is
+    the exact baseline; the LSH-bucketed scale path is
+    operators/similarity.py (rows-only)."""
+    from ..operators.similarity import cosine_topk_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = cosine_topk_brute(emb.filter(F.col("vec_id") != 0), qv, k=10, id_col="vec_id")
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query("minhash_near_dup")  # rows-only: banding/hash choices are engine-specific
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs over documents
+    (shingle → minhash → band → bucket join; SURVEY.md §2B ◆). No SQL
+    oracle — the hash family is engine-defined; correctness is covered by
+    pytest against exact Jaccard on sampled pairs."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")

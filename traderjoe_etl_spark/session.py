@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults match the test/bench environment (local[N] single JVM);
+on a real cluster the same settings are sane starting points: AQE on for
+runtime re-planning (skew joins, partition coalescing), Arrow on for any
+pandas-interop path, UTC session timezone so timestamp semantics are stable
+across engines (the DuckDB oracle is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every query should be able to rely on even when the caller
+# (e.g. the verification driver) built the session itself. All of these are
+# settable on a live session.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS) which the Spark reader rejects;
+    # read as long and convert in sources.tables (DuckDB truncates nanos to
+    # micros the same way, so oracle comparisons stay aligned).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "traderjoe_etl_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    ``spark.sql.shuffle.partitions`` is sized to the local core count — at
+    cluster scale this is instead governed by AQE coalescing from an
+    intentionally-high initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

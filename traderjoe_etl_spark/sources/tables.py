@@ -1,0 +1,58 @@
+"""Parquet table readers for the synthetic star schema.
+
+The driver test data (``/root/testdata/sf*/``) ships ten tables; schemas are
+pinned in FIXTURES.md §B. Reads go straight through ``spark.read.parquet`` so
+Catalyst gets predicate pushdown + column pruning for free — do NOT add
+``.cache()`` or eager materialization here; the scan must stay lazy so each
+query prunes to exactly the columns/row groups it needs (at 100 TB the scan
+IS the cost).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (they grow
+# sublinearly or are fixed-size in TPC-H-like generators).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as nanosecond
+# longs (spark.sql.legacy.parquet.nanosAsLong, set in session.RUNTIME_CONFS)
+# and we convert to TimestampType at microsecond precision — identical to how
+# DuckDB reads the same file, so oracles align.
+NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one synthetic table."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
