@@ -1,0 +1,172 @@
+"""Unit tests for operators lacking a SQL oracle (SURVEY.md §5: rows-only
+ops get property/quality checks instead)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from traderjoe_etl_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from traderjoe_etl_spark.operators.joins import asof_join
+from traderjoe_etl_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk_brute,
+    lsh_bucket_topk,
+)
+from traderjoe_etl_spark.sources.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "aa")], "id long, text string"
+    )
+    kept = exact_dedup(df, ["text"], "id").collect()
+    assert sorted((r.id, r.text) for r in kept) == [(1, "aa"), (3, "bb")]
+
+
+def test_minhash_candidates_are_real_near_dups(spark, docs):
+    """Every LSH candidate pair should have high exact Jaccard (precision),
+    and pairs sharing many bands should rank higher."""
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    verified = ngram_jaccard_pairs(docs, cand).collect()
+    assert len(verified) > 0
+    jac = [r.jaccard for r in verified]
+    assert min(jac) > 0.5  # 16-band/4-row curve is steep around 0.5
+    assert sum(j > 0.8 for j in jac) / len(jac) > 0.8
+
+
+def test_minhash_recall_on_known_duplicates(spark):
+    """Planted near-duplicates (one word changed in 50) must be found."""
+    base = " ".join(f"w{i}" for i in range(50))
+    variant = base.replace("w25", "zz")
+    rows = [(1, base), (2, variant)] + [
+        (i, " ".join(f"u{i}_{j}" for j in range(50))) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, "doc_id", "text").collect()}
+    assert (1, 2) in cand
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    variant = base.replace("w30", "zz")
+    other = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprint(df, "doc_id", "text").collect()}
+    near = spark.createDataFrame([(fp[1], fp[2]), (fp[1], fp[3])], "a long, b long").select(
+        hamming_distance("a", "b").alias("d")
+    ).collect()
+    d_near, d_far = near[0].d, near[1].d
+    assert d_near < d_far
+    assert d_near <= 8  # one word in 60 flips few bits
+
+
+def test_cosine_topk_brute_is_exact(spark, emb):
+    """Brute-force top-k must equal a numpy-computed ground truth."""
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    expected = sorted(sims, key=lambda v: (-sims[v], v))[:10]
+
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    got = [
+        r.vec_id
+        for r in cosine_topk_brute(emb.filter(F.col("vec_id") != 0), qdf, k=10).collect()
+    ]
+    assert got == expected
+
+
+def test_lsh_bucket_topk_recall(spark, emb):
+    """LSH top-k is approximate; with 8 planes it must still recover a
+    reasonable fraction of the exact top-10 for most queries, and every
+    result must be a genuine corpus vector with valid cosine."""
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk_brute(corpus, qdf, k=10).collect()}
+    approx = lsh_bucket_topk(corpus, qdf, k=10, dim=64, n_planes=6).collect()
+    assert len(approx) > 0
+    got = {r.vec_id for r in approx}
+    assert got & exact, "bucketed search should recover some exact neighbors"
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in approx)
+
+
+def test_cosine_near_dup_pairs_symmetric_and_thresholded(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(df, threshold=0.99, dim=3, n_planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.cosine >= 0.99 for r in pairs)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:30", "2024-01-01 09:00",
+                 "2024-01-01 10:00", "2024-01-02 00:00"]
+            ),
+            "lv": [1, 2, 3, 4, 5],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "rts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 11:00", "2024-01-01 12:00"]),
+            "rv": [10.0, 20.0, 30.0],
+        }
+    )
+    expected = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k", direction="backward",
+    ).sort_values("lv")
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        keys=["k"], left_ts="ts", right_ts="rts",
+    ).toPandas().sort_values("lv")
+
+    for _, e in expected.iterrows():
+        o = out[out.lv == e.lv].iloc[0]
+        if pd.isna(e.rv):
+            assert pd.isna(o.rv)
+        else:
+            assert o.rv == e.rv, (e.lv, o.rv, e.rv)

@@ -1,0 +1,286 @@
+"""The reference pipeline recomposed as ONE lazy DataFrame DAG.
+
+``process_data`` (reference main.py:20-351) runs S2→K1 eagerly for a single
+(user, pool) pair; here the per-pair driver loop (main.py:11-17) becomes
+data parallelism: every stage is keyed by (user_address, pool_address) and
+the whole batch of pairs flows through one Catalyst-optimized plan
+(SURVEY.md §3 EP2). Stage map (SURVEY.md §2A ids in parens):
+
+    pools 1d  (P1,P2)  ┐
+    pools 1h  (P3)     ├ join on pool_address → pool dim
+    history (P5-P7, F1, F3/F4 argmax, A1-A3, P8)  → per-pair deposit summary
+    fees    (A4 sums, A5 sorted string_agg)       → per-pair fee summary
+    bins    (P11 pro-rata, P12 decimal scaling)   → per-pair on-chain position
+    assembly: pairs ⟕ pools ⟕ history ⟕ fees ⟕ bins   (J1, J2, P13 keyed)
+    derive D1-D6 (value_if_held, USD values, IL, share %, APR/APY family)
+    P9 run_ts injection → P14 fixed order
+
+Documented deviations from the reference (SURVEY.md §2C):
+- joins are on (user_address, pool_address), not the collision-prone
+  ``pool_name`` (§2C.5);
+- per-bin packed strings are sorted by binId (§2C.1) and the structured
+  array columns are kept alongside;
+- wall-clock is an injected ``run_ts`` parameter (§2C.6);
+- ``/0 → inf`` is scrubbed via nullif at derivation time (§2C.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.casts import lenient_cast
+from ..functions.projection import project_rename, reorder_existing
+from ..functions.scrub import safe_div
+from ..operators.aggregates import argmax_rows, string_agg
+from ..schemas import SNAPSHOT_ORDER
+
+PAIR_KEYS = ["user_address", "pool_address"]
+
+# P2's rename map (reference main.py:54-79), struct paths flattened.
+POOL_RENAME_1D = {
+    "pairAddress": "pool_address",
+    "name": "pool_name",
+    "volumeUsd": "pool[volume](1d)",
+    "liquidityUsd": "pool[liquidity]",
+    "feesUsd": "pool[total_fees(USD)](1d)",
+    "tokenX.address": "token_x_address",
+    "tokenY.address": "token_y_address",
+    "tokenX.symbol": "token_x_symbol",
+    "tokenY.symbol": "token_y_symbol",
+    "tokenX.decimals": "token_x_decimals",
+    "tokenY.decimals": "token_y_decimals",
+    "reserveX": "pool[token_x_amount]",
+    "reserveY": "pool[token_y_amount]",
+    "tokenX.priceUsd": "token_x_price",
+    "tokenY.priceUsd": "token_y_price",
+    "lbBinStep": "lbBinStep",
+    "lbBaseFeePct": "base_fee%",
+    "lbMaxFeePct": "max_fee%",
+    "protocolSharePct": "protocol_fee%",
+    "activeBinId": "activeBinId",
+    "liquidityDepthMinus": "liquidityDepth-2%(USD)",
+    "liquidityDepthPlus": "liquidityDepth+2%(USD)",
+    "liquidityDepthTokenX": "liquidityDepth+2%TokenX",
+    "liquidityDepthTokenY": "liquidityDepth-2%TokenY",
+}
+
+# P3 (main.py:93-96).
+POOL_RENAME_1H = {
+    "pairAddress": "pool_address",
+    "volumeUsd": "pool[volume](1h)",
+    "feesUsd": "pool[total_fees(USD)](1h)",
+}
+
+
+@dataclass
+class SnapshotInputs:
+    """Keyed source relations (one row per pool / per event / per bin)."""
+
+    pools_1d: DataFrame  # POOL_STATS_SCHEMA, one row per pool
+    pools_1h: DataFrame  # POOL_STATS_SCHEMA (only volume/fees consumed)
+    history: DataFrame  # USER_HISTORY_SCHEMA, rows per (user, pool) event
+    fees: DataFrame  # FEES_EARNED_SCHEMA, rows per (user, pool, bin)
+    bins: DataFrame  # BINS_RESERVE_SCHEMA, rows per (user, pool, bin)
+
+
+def _pool_dim(inputs: SnapshotInputs) -> DataFrame:
+    """P1+P2+P3+P4: flatten/rename both pool fetches, key-join the 1h slice
+    (the reference's positional concat at main.py:102 is replaced by an
+    equi-join on pool_address — same result, order-independent)."""
+    p1d = project_rename(inputs.pools_1d, POOL_RENAME_1D)
+    p1h = project_rename(inputs.pools_1h, POOL_RENAME_1H)
+    return p1d.join(p1h, "pool_address", "left")
+
+
+def _history_summary(inputs: SnapshotInputs) -> DataFrame:
+    """F1→F3/F4→A1-A3→P8 (reference main.py:107-153): deposits only, argmax
+    by (blockNumber, timestamp) keeping ties, sum amounts, format max ts.
+
+    The empty-deposits branch (main.py:143-153) needs no driver-side 'if':
+    pairs with zero surviving rows simply don't appear here and the left
+    join in build_snapshot + coalesce supplies the zero defaults.
+    """
+    h = inputs.history.select(
+        F.col("user_address"),
+        F.col("poolAddress").alias("pool_address"),
+        F.to_timestamp("timestamp").alias("ts"),  # P6 main.py:124
+        F.col("isDeposit"),
+        F.col("blockNumber"),
+        # P5+P7: nested .get with default 0 + to_numeric coerce + fillna(0)
+        # (main.py:115-118, 125-126)
+        lenient_cast(F.col("tokenX.amount"), "double", default=0.0).alias("tokenX_amount"),
+        lenient_cast(F.col("tokenY.amount"), "double", default=0.0).alias("tokenY_amount"),
+    )
+    deposits = h.filter(F.col("isDeposit"))  # F1 main.py:127
+    latest = argmax_rows(deposits, PAIR_KEYS, ["blockNumber", "ts"])  # F3/F4, rank-ties
+    return latest.groupBy(*PAIR_KEYS).agg(
+        F.sum("tokenX_amount").alias("total_tokenX_amount_initial_deposit"),  # A3
+        F.sum("tokenY_amount").alias("total_tokenY_amount_initial_deposit"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("MostRecentDepositTime"),  # A2+P8
+    )
+
+
+def _fees_summary(inputs: SnapshotInputs) -> DataFrame:
+    """A4+A5 (reference main.py:158-181): per-pair fee totals plus the
+    packed ``"(binId: feesX, feesY; …)"`` string, sorted by binId for
+    determinism (§2C.1; the reference relied on API order)."""
+    f = inputs.fees.select(
+        F.col("user_address"),
+        F.col("poolAddress").alias("pool_address"),
+        F.col("binId"),
+        lenient_cast(F.col("accruedFeesX"), "double", default=0.0).alias("feesX"),
+        lenient_cast(F.col("accruedFeesY"), "double", default=0.0).alias("feesY"),
+    )
+    totals = f.groupBy(*PAIR_KEYS).agg(
+        F.sum("feesX").alias("accrued_fees_token_x"),
+        F.sum("feesY").alias("accrued_fees_token_y"),
+    )
+    rendered = F.concat_ws(
+        ": ",
+        F.col("binId").cast("string"),
+        F.concat_ws(", ", F.col("feesX").cast("string"), F.col("feesY").cast("string")),
+    )
+    packed = string_agg(
+        f,
+        keys=PAIR_KEYS,
+        expr=rendered,
+        order_by=["binId"],
+        out="fees_per_bin(bin_id: token_x, token_y_amounts)",
+    )
+    return totals.join(packed, PAIR_KEYS)
+
+
+def _contract_summary(inputs: SnapshotInputs, pool_decimals: DataFrame) -> DataFrame:
+    """P11+P12 (reference main.py:227-250): per-bin pro-rata share of
+    reserves, decimal-scaled, summed per pair + packed bin string.
+
+    Raw uint128/uint256 arrive as Decimal(38,0); the pro-rata math runs in
+    double like the reference (Python int→float at main.py:232-233) —
+    deviation §7.4.1 (Decimal(38)×Decimal(38) would overflow Spark's
+    precision cap).
+    """
+    b = inputs.bins.select(
+        F.col("user_address"),
+        F.col("poolAddress").alias("pool_address"),
+        F.col("binId"),
+        F.col("reserveX").cast("double").alias("rx"),
+        F.col("reserveY").cast("double").alias("ry"),
+        F.col("shares").cast("double").alias("sh"),
+        F.col("totalShares").cast("double").alias("tsh"),
+    ).join(pool_decimals, "pool_address", "left")
+    scaled = b.select(
+        "user_address",
+        "pool_address",
+        "binId",
+        (F.col("rx") * safe_div(F.col("sh"), F.col("tsh"))).alias("ux_raw"),  # P11
+        (F.col("ry") * safe_div(F.col("sh"), F.col("tsh"))).alias("uy_raw"),
+        (
+            F.col("rx") * safe_div(F.col("sh"), F.col("tsh"))
+            / F.pow(F.lit(10.0), F.col("token_x_decimals"))
+        ).alias("ux"),  # P12 main.py:237-238
+        (
+            F.col("ry") * safe_div(F.col("sh"), F.col("tsh"))
+            / F.pow(F.lit(10.0), F.col("token_y_decimals"))
+        ).alias("uy"),
+    )
+    scaled = scaled.join(pool_decimals, "pool_address", "left")
+    totals = scaled.groupBy(*PAIR_KEYS).agg(
+        # sum raw units, scale ONCE — main.py:234, 241-242 (not sum-of-scaled)
+        (F.sum("ux_raw") / F.pow(F.lit(10.0), F.first("token_x_decimals"))).alias("token_x_amount"),
+        (F.sum("uy_raw") / F.pow(F.lit(10.0), F.first("token_y_decimals"))).alias("token_y_amount"),
+    )
+    rendered = F.concat_ws(
+        ": ",
+        F.col("binId").cast("string"),
+        F.concat_ws(", ", F.col("ux").cast("string"), F.col("uy").cast("string")),
+    )
+    packed = string_agg(
+        scaled,
+        keys=PAIR_KEYS,
+        expr=rendered,
+        order_by=["binId"],
+        out="bin_distribution(bin id: token_x_amount, token_y_amounts)",
+    )
+    return totals.join(packed, PAIR_KEYS)
+
+
+def build_snapshot(
+    pairs: DataFrame,
+    inputs: SnapshotInputs,
+    run_ts: datetime,
+) -> DataFrame:
+    """Assemble the 46-column snapshot for every (user, pool) pair at once.
+
+    ``pairs``: DataFrame(user_address, pool_address) — the S1 cross product
+    (reference main.py:11-12), now a relation. ``run_ts``: injected wall
+    clock (replaces main.py:171, 271 — §2C.6).
+    """
+    pools = _pool_dim(inputs)
+    history = _history_summary(inputs)
+    fees = _fees_summary(inputs)
+    decimals = pools.select("pool_address", "token_x_decimals", "token_y_decimals")
+    contract = _contract_summary(inputs, decimals)
+
+    # J1/J2/P13 as keyed left joins; pool dim is broadcast (tiny at any SF).
+    df = (
+        pairs.join(F.broadcast(pools), "pool_address", "left")
+        .join(history, PAIR_KEYS, "left")
+        .join(fees, PAIR_KEYS, "left")
+        .join(contract, PAIR_KEYS, "left")
+    )
+
+    # Empty-deposit defaults (main.py:143-153): zeros for amounts, NULL time.
+    df = df.withColumn(
+        "total_tokenX_amount_initial_deposit",
+        F.coalesce("total_tokenX_amount_initial_deposit", F.lit(0.0)),
+    ).withColumn(
+        "total_tokenY_amount_initial_deposit",
+        F.coalesce("total_tokenY_amount_initial_deposit", F.lit(0.0)),
+    )
+
+    # D1 (main.py:198-201)
+    df = df.withColumn(
+        "value_if_held(USD)",
+        F.col("total_tokenX_amount_initial_deposit") * F.col("token_x_price")
+        + F.col("total_tokenY_amount_initial_deposit") * F.col("token_y_price"),
+    )
+    # D2 (main.py:257-259)
+    df = (
+        df.withColumn("token_x(USD)", F.col("token_x_price") * F.col("token_x_amount"))
+        .withColumn("token_y(USD)", F.col("token_y_price") * F.col("token_y_amount"))
+        .withColumn("total_token_value(USD)", F.col("token_x(USD)") + F.col("token_y(USD)"))
+    )
+    # D3 (main.py:261-262)
+    df = df.withColumn(
+        "accrued_fees_token_x(USD)", F.col("accrued_fees_token_x") * F.col("token_x_price")
+    ).withColumn(
+        "accrued_fees_token_y(USD)", F.col("accrued_fees_token_y") * F.col("token_y_price")
+    )
+    # D4 (main.py:264)
+    df = df.withColumn(
+        "impermanent_loss(USD)", F.col("value_if_held(USD)") - F.col("total_token_value(USD)")
+    )
+    # D5 (main.py:266-269) — nullif replaces the divide-then-scrub
+    df = df.withColumn(
+        "user_%_of_pool_liquidity",
+        safe_div(F.col("total_token_value(USD)"), F.col("pool[liquidity]")) * 100,
+    )
+    # D6 (main.py:275-286)
+    fees_1d = F.col("`pool[total_fees(USD)](1d)`")
+    liq = F.col("`pool[liquidity]`")
+    df = (
+        df.withColumn("fees_annual", fees_1d * 365)
+        .withColumn("APR%", safe_div(F.col("fees_annual"), liq) * 100)
+        .withColumn("APY%", (F.pow(1 + safe_div(fees_1d, liq), 365) - 1) * 100)
+        .withColumn("APR_1d%", safe_div(fees_1d, liq) * 100)
+    )
+    # P9 (main.py:171, 271-273): injected wall clock
+    df = df.withColumn("current_unix_timestamp", F.lit(int(run_ts.timestamp()))).withColumn(
+        "timestamp(datetime_pst)", F.lit(run_ts.strftime("%Y-%m-%d %H:%M:%S"))
+    )
+    # P14 (main.py:293-343)
+    return reorder_existing(df, SNAPSHOT_ORDER)

@@ -1,0 +1,47 @@
+"""Snapshot sinks — K1 generalized (reference main.py:345-351).
+
+The reference appends one wide row per run to a single CSV, writing the
+header only when the file is new. The engine's primary sink is append-mode
+Parquet partitioned by snapshot date (scales: each hourly batch is a new
+set of files, no read-modify-write, partition pruning on date for the
+time-series queries in operators/windows.py). The CSV export reproduces the
+reference's header-once, single-file byte format for compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_snapshot(df: DataFrame, path: str, partition_col: str = "snapshot_date") -> None:
+    """Append-mode partitioned Parquet sink.
+
+    Derives the partition date from ``current_unix_timestamp`` (the
+    reference's run stamp, main.py:271). Append mode: hourly batches only
+    add files — the Parquet analog of the CSV append at main.py:347.
+    """
+    out = df.withColumn(
+        partition_col, F.to_date(F.timestamp_seconds(F.col("current_unix_timestamp")))
+    )
+    out.write.mode("append").partitionBy(partition_col).parquet(path)
+
+
+def csv_export(df: DataFrame, path: str) -> None:
+    """Header-once single-file CSV append (reference main.py:345-351).
+
+    A deliberate driver-side convenience for small exports (the reference's
+    output volume is one row per pair per hour — tiny); the distributed
+    path is ``append_snapshot``.
+    """
+    pdf = df.toPandas()
+    exists = os.path.isfile(path) and os.path.getsize(path) > 0
+    pdf.to_csv(path, mode="a" if exists else "w", index=False, header=not exists)
+
+
+def read_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """Read the snapshot time series back (partition-pruned on
+    snapshot_date when filtered)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,115 @@
+"""Structured Streaming jobs — the reference's scheduler loop generalized.
+
+The reference's only "streaming" is ``while True: main(); sleep(3600)``
+(main.py:353-359) stamping wall-clock rows — processing-time, no event-time
+semantics. Engine mapping (SURVEY.md §2B Streaming):
+
+- parity mode: a processing-time trigger (1 hour) driving snapshot batches
+  into the append sink — ``hourly_snapshot_query``;
+- ◆ event-time mode: tumbling/sliding windows + watermarks for late
+  snapshots, session windows on the events stream, stateful dedup via
+  ``dropDuplicatesWithinWatermark``.
+
+All builders accept any streaming DataFrame so tests can feed them from a
+file source and drain synchronously with ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide``) window aggregation with a
+    watermark bounding state for late data.
+
+    The tumbling 1-hour case is the reference's cadence (main.py:359) made
+    event-time-correct: late snapshots up to the watermark still land in
+    their hour; state for closed windows is dropped (bounded memory at any
+    scale)."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Event-time session windows (gap-based) — the streaming twin of
+    operators.windows.sessionize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful exact dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the streaming analog of
+    operators.dedup.exact_dedup with bounded state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def hourly_snapshot_query(
+    snapshot_batches: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    build_batch: Callable[[DataFrame, int], DataFrame] | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The T1 scheduler (main.py:353-359) as a streaming query.
+
+    ``foreachBatch`` gives per-cycle isolation (a failing batch can be
+    retried from the checkpoint without killing the query — the engine form
+    of the reference's per-cycle try/except) and lets the batch hook run
+    arbitrary assembly (e.g. plans.build_snapshot) before the append.
+    Default trigger is availableNow (drain-and-stop, driven by an external
+    scheduler); pass ``{"processingTime": "1 hour"}`` for the resident
+    hourly loop.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = build_batch(batch_df, epoch_id) if build_batch else batch_df
+        out.write.mode("append").parquet(sink_path)
+
+    writer = snapshot_batches.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
