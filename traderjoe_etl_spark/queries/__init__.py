@@ -46,7 +46,14 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module (idempotent)."""
-    from . import llm_ops, reference_semantics, relational  # noqa: F401
+    from . import (  # noqa: F401
+        llm_ops,
+        pipeline_queries,
+        reference_semantics,
+        relational,
+        text_analysis,
+        windows_scalars,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

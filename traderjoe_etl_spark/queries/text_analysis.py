@@ -1,0 +1,170 @@
+"""Text-analysis + multimodal queries (SURVEY.md §2B ◆ north star).
+
+lang-ID / quality / fingerprint over ``documents``; embedding centroids;
+multimodal feature extraction over binary columns synthesized from the
+document bytes (deterministic — the decode step is the stubbed fake,
+the Spark plumbing is real).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import LANG_PROFILES, lang_id, text_profile
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+def _lang_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id: stopword-hit scores per
+    language, argmax with the same (score, lang) lexicographic tie-break
+    (higher score wins; on ties the reverse-alphabetically larger lang)."""
+    score_exprs = ",\n           ".join(
+        f"len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"{words!r})) AS s_{lang}".replace("'", "'")
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs_desc = sorted(LANG_PROFILES, reverse=True)  # tie-break order
+    case = "CASE\n"
+    for i, lang in enumerate(langs_desc):
+        others = [o for o in langs_desc[i + 1 :]]
+        conds = [f"s_{lang} > 0"] + [f"s_{lang} >= s_{o}" for o in others]
+        # must also beat every earlier (reverse-alpha larger) lang strictly
+        earlier = [f"s_{lang} > s_{o}" for o in langs_desc[:i]]
+        case += f"  WHEN {' AND '.join(earlier + conds)} THEN '{lang}'\n"
+    case += "  ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {score_exprs}
+        FROM documents
+    )
+    SELECT {case} AS lang_detected, count(*) AS n_docs
+    FROM scored
+    GROUP BY 1
+    """
+
+
+@query("lang_id_counts", oracle=_lang_oracle())
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword voting) rolled up to corpus counts.
+    Pure column expressions; the oracle replicates score + tie-break
+    exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(lang_id("text").alias("lang_detected")).groupBy("lang_detected").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query("text_profile_full")  # rows-only: xxhash64 fingerprint has no DuckDB twin
+def text_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-doc profile: tokens/chars/lang/quality/fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text")
+
+
+@query(
+    "regexp_extract_sources",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def regexp_extract_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract (SURVEY.md §2B scalar string fns ◆)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.regexp_extract("source", r"src([0-9]+)", 1).cast("long").alias("src_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+    FROM flat
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — posexplode +
+    two-key groupBy (partial agg; shuffle carries |labels|×dim rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@query("simhash_fingerprints")  # rows-only: engine-defined hash family
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprint(docs, "doc_id", "text")
+
+
+@query("ngram_jaccard_near_dups")  # rows-only: pair set depends on LSH banding
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash-LSH candidates verified with exact n-gram Jaccard ≥ 0.8 —
+    the full near-dup detection pipeline (candidate generation + exact
+    verification)."""
+    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    return ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+
+
+@query("embedding_cosine_near_dups")  # rows-only: LSH bucketing engine-defined
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.95, dim=64, n_planes=6)
+
+
+@query("multimodal_features")  # rows-only: stubbed decoder is engine-defined
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns end-to-end: synthesize blobs from document
+    bytes (deterministic), byte-size-aware repartition, Arrow-batched
+    feature extraction via mapInPandas. The decode is the documented fake;
+    everything around it is the real 100-TB plumbing."""
+    from ..operators.multimodal import extract_features, media_repartition
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            (F.length("text") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media_repartition(media), dim=16)

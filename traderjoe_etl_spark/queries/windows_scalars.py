@@ -1,0 +1,200 @@
+"""Window-function and scalar-function coverage queries (SURVEY.md §2B
+windows + scalar functions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "dense_rank_price_tiers",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           round(p_retailprice, 2) AS p_retailprice,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS tier,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+    FROM part
+    """,
+)
+def dense_rank_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank side by side (ties collapse tiers but gap ranks)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+        F.dense_rank().over(w).alias("tier"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+@query(
+    "lead_next_order_gap",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', o_orderdate,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                AS BIGINT) AS days_to_next
+    FROM orders
+    """,
+)
+def lead_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() — days until the customer's next order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date(nxt), F.to_date("o_orderdate")).cast("long").alias("days_to_next"),
+    )
+
+
+@query(
+    "running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM orders
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer — unbounded-preceding frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "ntile_customer_quartiles",
+    oracle="""
+    SELECT quartile, count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+    FROM (
+        SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    )
+    GROUP BY quartile
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (global window — fine: output is 4 aggregate rows,
+    and the sort is the cost, not state)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "string_functions_showcase",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS name_upper,
+           lower(c_mktsegment)                    AS segment_lower,
+           substring(c_name, 1, 8)                AS name_prefix,
+           length(c_name)                         AS name_len,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           replace(c_name, 'Customer', 'C')       AS name_short,
+           ltrim(rtrim(c_name))                   AS name_trim
+    FROM customer
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function coverage (upper/lower/substring/length/
+    concat/replace/trim) — SURVEY.md §2B scalar fns."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.ltrim(F.rtrim("c_name")).alias("name_trim"),
+    )
+
+
+@query(
+    "math_functions_showcase",
+    oracle="""
+    SELECT p_partkey,
+           round(abs(p_retailprice - 1000), 4)     AS abs_diff,
+           round(sqrt(p_retailprice), 6)           AS sqrt_price,
+           round(ln(p_retailprice), 6)             AS ln_price,
+           round(exp(p_retailprice / 1000), 6)     AS exp_scaled,
+           CAST(floor(p_retailprice) AS BIGINT)    AS floor_price,
+           CAST(ceil(p_retailprice) AS BIGINT)     AS ceil_price,
+           CAST(p_size % 7 AS INTEGER)             AS size_mod
+    FROM part
+    """,
+)
+def math_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math coverage (abs/sqrt/ln/exp/floor/ceil/mod)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("abs_diff"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.exp(F.col("p_retailprice") / 1000), 6).alias("exp_scaled"),
+        F.floor("p_retailprice").cast("long").alias("floor_price"),
+        F.ceil("p_retailprice").cast("long").alias("ceil_price"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@query(
+    "events_pivot_by_type",
+    oracle="""
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view,
+           CAST(count(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with fixed values (single pass, no discovery job)."""
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("view", "click", "purchase", "signup", "error")],
+    )
