@@ -1,0 +1,79 @@
+"""Source-adapter tests: schema-pinned json/csv reads, REST fetcher
+executor path, RPC fetcher with decimal fidelity."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import types as T
+
+from traderjoe_etl_spark.sources.rest import quarantine, rest_snapshot_source
+from traderjoe_etl_spark.sources.rpc import rpc_bins_source
+from traderjoe_etl_spark.sources.tables import read_with_schema
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_read_json_permissive_missing_fields(spark):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "rows.json")
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": 1, "name": "a", "score": 1.5}) + "\n")
+        f.write(json.dumps({"id": 2}) + "\n")  # missing fields → NULLs
+    rows = {r.id: r for r in read_with_schema(spark, p, "json", SCHEMA).collect()}
+    assert rows[1].score == 1.5
+    assert rows[2].name is None and rows[2].score is None
+
+
+def test_read_csv_with_header_and_bad_cell(spark):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "rows.csv")
+    with open(p, "w") as f:
+        f.write("id,name,score\n1,a,1.5\n2,b,not_a_number\n")
+    rows = {r.id: r for r in read_with_schema(spark, p, "csv", SCHEMA).collect()}
+    assert rows[1].score == 1.5
+    assert rows[2].score is None  # PERMISSIVE: bad cell → NULL
+
+
+def test_rest_source_explodes_rows_and_quarantines(spark):
+    payload = {"p1": [{"v": 1.0}, {"v": 2.0}], "p2": []}
+
+    def fetch(url, params):
+        key = url.rsplit("/", 1)[-1]
+        if key == "boom":
+            raise RuntimeError("api 500")
+        return payload[key]
+
+    keys = spark.createDataFrame([("p1",), ("p2",), ("boom",)], "pool string")
+    out = rest_snapshot_source(
+        keys, "https://api/{pool}", T.StructType([T.StructField("v", T.DoubleType())]), fetcher=fetch
+    )
+    ok, bad = quarantine(out)
+    assert sorted(r.v for r in ok.filter("pool = 'p1'").collect()) == [1.0, 2.0]
+    assert ok.filter("pool = 'p2'").count() == 0
+    assert bad.collect()[0].pool == "boom"
+
+
+def test_rpc_source_decimal_fidelity(spark):
+    def caller(pool, user, active, plus, minus):
+        return [(active, 10**30, 1, 2**90, 2**91)]
+
+    keys = spark.createDataFrame(
+        [("u", "p", 5)], "user_address string, poolAddress string, activeBinId int"
+    )
+    row = rpc_bins_source(keys, caller).collect()[0]
+    assert row.reserveX == Decimal(10**30)  # > float64 exact range, > int64
+    assert row.shares == Decimal(2**90)
+    assert row.totalShares == Decimal(2**91)
