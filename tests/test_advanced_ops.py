@@ -1,0 +1,98 @@
+"""Tests for IVF search, salted skew operators, and the argmax
+differential property (random inputs vs a pandas reference model)."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from traderjoe_etl_spark.operators.aggregates import argmax_rows
+from traderjoe_etl_spark.operators.similarity import cosine_topk_brute, ivf_assign, ivf_topk
+from traderjoe_etl_spark.operators.skew import salted_group_agg, salted_join
+from traderjoe_etl_spark.sources.tables import read_table
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = [r.vec_id for r in cosine_topk_brute(corpus, qdf, k=10).collect()]
+    assigned, cents = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
+    assert assigned.count() == corpus.count()  # every vector in exactly one cluster
+    approx = [r.vec_id for r in ivf_topk(assigned, cents, qdf, k=10, n_probe=3).collect()]
+    # probing 3/8 clusters should recover a majority of the true top-10
+    assert len(set(approx) & set(exact)) >= 5, (exact, approx)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events").limit(2000)
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 5.0), ("signup", 3.0), ("error", 0.5)],
+        "event_type string, weight double",
+    )
+    plain = (
+        events.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("weight"), 4).alias("w"))
+    )
+    salted = (
+        salted_join(events, dim, "event_type", salt_buckets=8)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("weight"), 4).alias("w"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_group_agg_collects_everything(spark):
+    rows = [("k", float(i)) for i in range(100)] + [("j", 1.0)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    out = {r.key: r for r in salted_group_agg(df, ["key"], "v", salt_buckets=4).collect()}
+    assert out["k"].n == 100 and sorted(out["k"].values) == sorted(float(i) for i in range(100))
+    assert out["j"].n == 1
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_argmax_differential_vs_pandas(spark, seed):
+    """Random (key, block, ts, value) rows: argmax_rows must match a pandas
+    reference implementing the reference's two-step max (main.py:130-135),
+    including ties."""
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            f"u{rng.randint(0, 5)}",
+            rng.randint(0, 4),  # few blocks → frequent ties
+            rng.randint(0, 3),
+            rng.random(),
+        )
+        for _ in range(300)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "block", "ts", "v"])
+
+    def ref_one(g):
+        mb = g["block"].max()
+        g = g[g["block"] == mb]
+        mt = g["ts"].max()
+        return g[g["ts"] == mt]["v"].sum()
+
+    expected = pdf.groupby("k").apply(ref_one, include_groups=False).to_dict()
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.k: r.s
+        for r in argmax_rows(df, ["k"], ["block", "ts"])
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k]), k

@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,6 +103,89 @@ def lsh_bucket_topk(
     scored = joined.select(
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic seeding (first ``n_centroids``
+    rows by id) + ``lloyd_iters`` k-means refinement passes, then assign
+    every vector to its nearest centroid.
+
+    Returns (assigned, centroids): ``assigned`` = corpus + ``cluster``
+    column; ``centroids`` = (cluster, centroid array). Centroids live on
+    the driver between iterations (n_centroids × dim floats — kilobytes)
+    and re-enter the plan as a broadcast join; the corpus is never
+    collected.
+    """
+    centroids_df = (
+        emb.orderBy(id_col).limit(n_centroids)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn("cluster", F.monotonically_increasing_id().cast("int"))
+    )
+    # stable small collect → rebuild as literal relation each iteration
+    cents = [(i, list(r.centroid)) for i, r in enumerate(centroids_df.collect())]
+    spark = emb.sparkSession
+
+    def assign(cent_rows) -> DataFrame:
+        cdf = spark.createDataFrame(cent_rows, "cluster int, centroid array<float>")
+        joined = emb.crossJoin(F.broadcast(cdf))
+        scored = joined.withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
+        w_best = F.max(F.struct(F.col("__sim"), F.col("cluster"))).over(
+            Window.partitionBy(id_col)
+        )
+        return (
+            scored.withColumn("__best", w_best)
+            .filter(F.col("cluster") == F.col("__best.cluster"))
+            .drop("__sim", "__best", "centroid")
+        )
+
+    assigned = assign(cents)
+    for _ in range(lloyd_iters):
+        new_cents = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"))
+        )
+        cents = [(r.cluster, list(r.centroid)) for r in new_cents.collect()]
+        assigned = assign(cents)
+    cent_final = spark.createDataFrame(cents, "cluster int, centroid array<float>")
+    return assigned, cent_final
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF search: rank centroids against the query, probe the ``n_probe``
+    nearest clusters, exact cosine within them. Scan cost ≈
+    n_probe/n_centroids of the corpus — the 100-TB ANN path next to the
+    LSH variant."""
+    probe = (
+        query.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", cosine(F.col(query_vec_col), F.col("centroid")))
+        .orderBy(F.col("__sim").desc())
+        .limit(n_probe)
+        .select("cluster", query_vec_col)
+    )
+    cand = corpus_assigned.join(F.broadcast(probe), "cluster")
+    scored = cand.select(
+        F.col(id_col), cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 

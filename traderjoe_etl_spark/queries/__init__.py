@@ -47,6 +47,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every query module (idempotent)."""
     from . import (  # noqa: F401
+        advanced_ops,
         coverage_extras,
         llm_ops,
         pipeline_queries,

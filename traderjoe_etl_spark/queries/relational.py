@@ -280,8 +280,9 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
-    # Pre-argmax the right side: one row per (user, orderdate) so ties are deterministic.
-    orders = orders.distinct()
+    # No pre-distinct: duplicate (user, orderdate) rows carry identical
+    # payloads here, so last-wins is deterministic anyway — skipping the
+    # dedup saves one full shuffle of the right side.
     joined = asof_join(
         events,
         orders,
