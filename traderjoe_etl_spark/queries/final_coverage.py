@@ -1,0 +1,143 @@
+"""Final round-1 coverage: exact percentiles/median, NULL-ordering
+semantics, array scalar ops, SCD2 snapshot versioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "percentiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity)                              AS med_qty,
+           round(quantile_cont(l_quantity, 0.9), 6)        AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6)   AS med_price,
+           round(min(l_quantity), 2)                       AS min_qty,
+           round(max(l_quantity), 2)                       AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + continuous percentiles (both engines interpolate
+    identically — verified). The approx_percentile variant is the scale
+    path (single-pass sketch) and is rows-only by nature."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("med_price"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@query(
+    "nulls_ordering_topk",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', o_orderdate,
+                    lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+                   AS days_to_next
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, days_to_next
+    FROM gaps
+    ORDER BY days_to_next DESC NULLS LAST, o_orderkey
+    LIMIT 20
+    """,
+)
+def nulls_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering — a cross-engine trap pinned down:
+    Spark defaults nulls FIRST on desc, DuckDB nulls LAST; both sides say
+    it explicitly so the result sets agree."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date(F.lead("o_orderdate").over(w)), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_next"),
+    )
+    return gaps.orderBy(F.col("days_to_next").desc_nulls_last(), "o_orderkey").limit(20)
+
+
+@query(
+    "array_scalar_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                             AS dim,
+           round(CAST(embedding[1]  AS DOUBLE), 6)                    AS first_val,
+           round(CAST(embedding[-1] AS DOUBLE), 6)                    AS last_val,
+           round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS sum_first4,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)              AS max_val
+    FROM embeddings
+    """,
+)
+def array_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface: size / element_at (positive + negative index) /
+    slice + aggregate / array_max (SURVEY.md §2B array fns)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at("embedding", -1).cast("double"), 6).alias("last_val"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 4), F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            6,
+        ).alias("sum_first4"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+@query("scd2_snapshot_versions")  # rows-only: two-phase merge, no single SQL twin
+def scd2_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioning of the snapshot table (K1 generalized to a
+    warehouse dimension): derive batch-0/batch-1 pool states from orders,
+    merge, return the full version history with validity ranges."""
+    from ..operators.scd import scd2_init, scd2_merge
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("pair_key")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("position_value"),
+        F.max("o_orderdate").alias("ts"),
+    )
+    batch0 = base.withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    # batch 1: half the keys change value, a synthetic new key appears
+    changed = base.filter(F.col("pair_key") % 2 == 0).withColumn(
+        "position_value", F.round(F.col("position_value") * 1.1, 2)
+    )
+    newkey = spark.createDataFrame(
+        [(999999, 123.45)], "pair_key long, position_value double"
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    batch1 = (
+        changed.unionByName(base.filter(F.col("pair_key") % 2 == 1))
+        .unionByName(newkey.select("pair_key", "position_value", "ts"))
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 01:00:00")))
+    )
+    cur = scd2_init(batch0, "ts")
+    merged = scd2_merge(cur, batch1, keys=["pair_key"], compare_cols=["position_value"], ts_col="ts")
+    return merged.select(
+        "pair_key",
+        "position_value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
