@@ -33,6 +33,8 @@ HEADLINE = [
     "minhash_near_dup",
     "cosine_topk",
     "quality_scores",
+    "snapshot_pipeline",
+    "ivf_cosine_topk",
 ]
 
 
