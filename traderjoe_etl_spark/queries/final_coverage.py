@@ -107,6 +107,35 @@ def array_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_percentiles")  # rows-only: sketch estimates are engine-specific
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (single-pass KLL-style sketch) — the 100-TB
+    quantile path; the exact sort-based twin is percentiles_by_flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+    )
+
+
+@query("bucketed_colocated_join")  # rows-only: result equals plain join; the point is the plan
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via same-key bucketed tables (the
+    repeated-join answer at 100 TB: pay the shuffle once at write time).
+    tests/test_bucketing.py asserts the plan has no shuffle Exchange."""
+    from ..operators.bucketing import bucketed_join, save_bucketed
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    save_bucketed(orders.withColumnRenamed("o_custkey", "custkey"), "q_b_orders", "custkey", 8)
+    save_bucketed(cust.withColumnRenamed("c_custkey", "custkey"), "q_b_customer", "custkey", 8)
+    j = bucketed_join(spark, "q_b_orders", "q_b_customer", "custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
 @query("scd2_snapshot_versions")  # rows-only: two-phase merge, no single SQL twin
 def scd2_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 versioning of the snapshot table (K1 generalized to a
