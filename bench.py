@@ -60,6 +60,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # queries must not inherit earlier persists
 
     total = round(sum(timings.values()), 3)
     print(

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.casts import lenient_cast
 from ..functions.projection import project_rename, reorder_existing
 from ..functions.scrub import safe_div
-from ..operators.aggregates import argmax_rows, string_agg
+from ..operators.aggregates import argmax_rows
 from ..schemas import SNAPSHOT_ORDER
 
 PAIR_KEYS = ["user_address", "pool_address"]
@@ -135,23 +135,29 @@ def _fees_summary(inputs: SnapshotInputs) -> DataFrame:
         lenient_cast(F.col("accruedFeesX"), "double", default=0.0).alias("feesX"),
         lenient_cast(F.col("accruedFeesY"), "double", default=0.0).alias("feesY"),
     )
-    totals = f.groupBy(*PAIR_KEYS).agg(
-        F.sum("feesX").alias("accrued_fees_token_x"),
-        F.sum("feesY").alias("accrued_fees_token_y"),
-    )
     rendered = F.concat_ws(
         ": ",
         F.col("binId").cast("string"),
         F.concat_ws(", ", F.col("feesX").cast("string"), F.col("feesY").cast("string")),
     )
-    packed = string_agg(
-        f,
-        keys=PAIR_KEYS,
-        expr=rendered,
-        order_by=["binId"],
-        out="fees_per_bin(bin_id: token_x, token_y_amounts)",
+    # single-pass: totals AND the sorted packed string in ONE groupBy
+    # (two groupBys + self-join would shuffle twice and join for nothing)
+    packed = F.concat(
+        F.lit("("),
+        F.concat_ws(
+            "; ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("binId").alias("_o0"), rendered.alias("_s")))),
+                lambda s: s["_s"],
+            ),
+        ),
+        F.lit(")"),
     )
-    return totals.join(packed, PAIR_KEYS)
+    return f.groupBy(*PAIR_KEYS).agg(
+        F.sum("feesX").alias("accrued_fees_token_x"),
+        F.sum("feesY").alias("accrued_fees_token_y"),
+        packed.alias("fees_per_bin(bin_id: token_x, token_y_amounts)"),
+    )
 
 
 def _contract_summary(inputs: SnapshotInputs, pool_decimals: DataFrame) -> DataFrame:
@@ -188,24 +194,29 @@ def _contract_summary(inputs: SnapshotInputs, pool_decimals: DataFrame) -> DataF
         ).alias("uy"),
     )
     scaled = scaled.join(pool_decimals, "pool_address", "left")
-    totals = scaled.groupBy(*PAIR_KEYS).agg(
-        # sum raw units, scale ONCE — main.py:234, 241-242 (not sum-of-scaled)
-        (F.sum("ux_raw") / F.pow(F.lit(10.0), F.first("token_x_decimals"))).alias("token_x_amount"),
-        (F.sum("uy_raw") / F.pow(F.lit(10.0), F.first("token_y_decimals"))).alias("token_y_amount"),
-    )
     rendered = F.concat_ws(
         ": ",
         F.col("binId").cast("string"),
         F.concat_ws(", ", F.col("ux").cast("string"), F.col("uy").cast("string")),
     )
-    packed = string_agg(
-        scaled,
-        keys=PAIR_KEYS,
-        expr=rendered,
-        order_by=["binId"],
-        out="bin_distribution(bin id: token_x_amount, token_y_amounts)",
+    packed = F.concat(
+        F.lit("("),
+        F.concat_ws(
+            "; ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("binId").alias("_o0"), rendered.alias("_s")))),
+                lambda s: s["_s"],
+            ),
+        ),
+        F.lit(")"),
     )
-    return totals.join(packed, PAIR_KEYS)
+    # single groupBy: raw sums scaled ONCE (main.py:234, 241-242 — not
+    # sum-of-scaled) + the sorted packed bin string, one shuffle total
+    return scaled.groupBy(*PAIR_KEYS).agg(
+        (F.sum("ux_raw") / F.pow(F.lit(10.0), F.first("token_x_decimals"))).alias("token_x_amount"),
+        (F.sum("uy_raw") / F.pow(F.lit(10.0), F.first("token_y_decimals"))).alias("token_y_amount"),
+        packed.alias("bin_distribution(bin id: token_x_amount, token_y_amounts)"),
+    )
 
 
 def build_snapshot(
