@@ -204,6 +204,20 @@ def test_empty_deposits_branch(spark):
     assert row["MostRecentDepositTime"] is None
 
 
+def test_empty_fees_and_bins_defaults(spark):
+    """main.py:159-170, 227-250: empty fee/bin lists → '()' packed strings
+    and zero totals (not NULL)."""
+    pairs = spark.createDataFrame([(USER, POOL)], "user_address string, pool_address string")
+    row = build_snapshot(pairs, _empty_inputs(spark, _pool_row()), RUN_TS).collect()[0].asDict()
+    assert row["fees_per_bin(bin_id: token_x, token_y_amounts)"] == "()"
+    assert row["bin_distribution(bin id: token_x_amount, token_y_amounts)"] == "()"
+    assert row["accrued_fees_token_x"] == 0.0 and row["accrued_fees_token_y"] == 0.0
+    assert row["token_x_amount"] == 0.0 and row["token_y_amount"] == 0.0
+    # derived metrics flow from the zeros, not from NULL propagation
+    assert row["total_token_value(USD)"] == 0.0
+    assert row["impermanent_loss(USD)"] == 0.0
+
+
 def test_zero_liquidity_scrubs_to_null(spark):
     """main.py:266-286: /0 → inf → scrub; engine yields NULL (SURVEY §2C.2)."""
     pairs = spark.createDataFrame([(USER, POOL)], "user_address string, pool_address string")

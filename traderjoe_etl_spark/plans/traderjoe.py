@@ -252,6 +252,18 @@ def build_snapshot(
         "total_tokenY_amount_initial_deposit",
         F.coalesce("total_tokenY_amount_initial_deposit", F.lit(0.0)),
     )
+    # Empty fees / bins defaults: the reference's loops over an empty list
+    # yield 0 totals and a literal "()" packed string (main.py:159-170,
+    # 227-244); pairs absent from those relations get the same here.
+    for col, default in (
+        ("accrued_fees_token_x", F.lit(0.0)),
+        ("accrued_fees_token_y", F.lit(0.0)),
+        ("fees_per_bin(bin_id: token_x, token_y_amounts)", F.lit("()")),
+        ("token_x_amount", F.lit(0.0)),
+        ("token_y_amount", F.lit(0.0)),
+        ("bin_distribution(bin id: token_x_amount, token_y_amounts)", F.lit("()")),
+    ):
+        df = df.withColumn(col, F.coalesce(F.col(f"`{col}`"), default))
 
     # D1 (main.py:198-201)
     df = df.withColumn(
