@@ -29,7 +29,9 @@ def big_decimal_ratio(raw: pd.Series, scale_digits: pd.Series) -> pd.Series:
         if v is None or d is None:
             out.append(None)
         else:
-            out.append(float(int(v)) / float(10 ** int(d)))
+            # single correctly-rounded int/int division — rounding each
+            # operand to float64 first would double-round
+            out.append(int(v) / (10 ** int(d)))
     return pd.Series(out, dtype="float64")
 
 

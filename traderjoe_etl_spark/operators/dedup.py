@@ -30,7 +30,13 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     re-attached by id (semi-join back). At 100 TB this is the difference
     between shuffling the corpus and shuffling its fingerprints.
     """
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    # coalesce each column to a sentinel BEFORE concat: concat_ws drops
+    # NULLs, so ('a', NULL) and (NULL, 'a') would otherwise collide.
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00∅")) for c in content_cols]
+        )
+    )
     winners = (
         df.select(F.col(id_col), h.alias("__h"))
         .groupBy("__h")
@@ -118,18 +124,20 @@ def minhash_lsh_candidates(
         ).alias("band"),
     ).select("__id", "band.band_idx", "band.band_hash")
     # The self-join consumes band_entries twice; without persistence Spark
-    # recomputes the whole signature pipeline per side. At production scale
-    # the equivalent is materializing signatures to a table once.
+    # recomputes the whole signature pipeline per side. Persist is SCOPED:
+    # the result is eagerly materialized (localCheckpoint truncates its
+    # lineage) so the cache can be released before returning — callers get
+    # a self-contained DataFrame and no storage-memory leak. At production
+    # scale the equivalent is materializing signatures to a table once.
     band_entries = band_entries.persist()
-
-    a = band_entries.select(
-        F.col("__id").alias("id_a"), "band_idx", "band_hash"
-    )
-    b = band_entries.select(
-        F.col("__id").alias("id_b"), "band_idx", "band_hash"
-    )
-    pairs = a.join(b, ["band_idx", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    try:
+        a = band_entries.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+        b = band_entries.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+        pairs = a.join(b, ["band_idx", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+        out = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_shared"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        band_entries.unpersist()
 
 
 def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

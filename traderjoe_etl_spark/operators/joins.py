@@ -55,7 +55,13 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
-    carried = [*right_cols, f"__asof_ts"]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right columns {sorted(clash)} collide with left column "
+            "names — rename or pass an explicit non-overlapping right_cols"
+        )
+    carried = [*right_cols, "__asof_ts"]
 
     lhs = left.select(
         *keys,

@@ -62,14 +62,16 @@ def _fake_decode(blob: bytes, dim: int) -> list[float]:
 
 
 def media_repartition(df: DataFrame, target_bytes: int = 64 * 1024 * 1024) -> DataFrame:
-    """Partition media rows by cumulative blob size, not row count.
+    """Size the partition COUNT by total bytes, then spread rows by a
+    media_id hash.
 
-    Range-partitioning on a byte-bucket key spreads large blobs; a naive
-    row-count split puts N 4K videos in one task."""
-    sized = df.withColumn("__sz", F.length("content"))
-    total = sized.agg(F.sum("__sz")).collect()[0][0] or 0
+    The partition count comes from the byte volume (total/target), and the
+    hash spread scatters large blobs uniformly across partitions in
+    expectation. (Range-partitioning by blob size would do the opposite —
+    co-locate all the biggest blobs in the top range.)"""
+    total = df.agg(F.sum(F.length("content"))).collect()[0][0] or 0
     n_parts = max(1, int(total / target_bytes))
-    return sized.repartitionByRange(n_parts, F.col("__sz"), F.col("media_id")).drop("__sz")
+    return df.repartition(n_parts, F.xxhash64("media_id"))
 
 
 def extract_features(

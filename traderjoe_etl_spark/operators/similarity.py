@@ -124,12 +124,9 @@ def ivf_assign(
     and re-enter the plan as a broadcast join; the corpus is never
     collected.
     """
-    centroids_df = (
-        emb.orderBy(id_col).limit(n_centroids)
-        .select(F.col(vec_col).alias("centroid"))
-        .withColumn("cluster", F.monotonically_increasing_id().cast("int"))
-    )
-    # stable small collect → rebuild as literal relation each iteration
+    centroids_df = emb.orderBy(id_col).limit(n_centroids).select(F.col(vec_col).alias("centroid"))
+    # stable small collect → cluster id = enumeration order of the
+    # id-ordered seed rows; rebuilt as a literal relation each iteration
     cents = [(i, list(r.centroid)) for i, r in enumerate(centroids_df.collect())]
     spark = emb.sparkSession
 

@@ -31,12 +31,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated.
 
-    big gets ``salt = pmod(hash(random-ish row parts), N)`` — here a
-    deterministic hash of the whole row so tests are stable; small is
-    exploded ×N. The join key becomes (key, salt): a hot key now spreads
-    over N shuffle partitions. Cost: small side ×N (only viable when small
-    is genuinely small — which is also when the skew hurts most).
+    big gets ``salt = pmod(hash(whole row), N)`` (deterministic, so tests
+    are stable); small is exploded ×N. The join key becomes (key, salt): a
+    hot key now spreads over N shuffle partitions. Cost: small side ×N
+    (only viable when small is genuinely small — which is also when the
+    skew hurts most).
+
+    Only ``inner`` and ``left`` are valid: an outer-preserved small side
+    would emit its unmatched rows once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): replicated "
+            "small-side rows would duplicate under right/full outer preservation"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int")
     )
@@ -55,9 +63,13 @@ def salted_group_agg(
 ) -> DataFrame:
     """Two-stage salted aggregation: collect_list state is built per
     (key, salt) then flattened per key — bounds any single task's state to
-    ~1/N of the hot key."""
+    ~1/N of the hot key.
+
+    The salt is value-INDEPENDENT (a per-row id hash): salting on the value
+    would collapse a hot key whose rows share one dominant value into a
+    single bucket, defeating the mitigation."""
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(salt_buckets)).cast("int")
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         F.collect_list(value_col).alias("__part"),

@@ -192,8 +192,9 @@ def _contract_summary(inputs: SnapshotInputs, pool_decimals: DataFrame) -> DataF
             F.col("ry") * safe_div(F.col("sh"), F.col("tsh"))
             / F.pow(F.lit(10.0), F.col("token_y_decimals"))
         ).alias("uy"),
+        "token_x_decimals",  # kept: the totals agg scales the raw sums once
+        "token_y_decimals",
     )
-    scaled = scaled.join(pool_decimals, "pool_address", "left")
     rendered = F.concat_ws(
         ": ",
         F.col("binId").cast("string"),
