@@ -1,0 +1,50 @@
+"""Multi-probe LSH recall improvement + deterministic media balancing."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from traderjoe_etl_spark.operators.multimodal import MEDIA_SCHEMA, media_repartition
+from traderjoe_etl_spark.operators.similarity import cosine_topk_brute, lsh_bucket_topk
+from traderjoe_etl_spark.sources.tables import read_table
+
+
+def test_multiprobe_recall_not_worse(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {r.vec_id for r in cosine_topk_brute(corpus, qdf, k=10).collect()}
+
+    single = {r.vec_id for r in lsh_bucket_topk(corpus, qdf, k=10, dim=64, n_planes=6).collect()}
+    multi = {
+        r.vec_id
+        for r in lsh_bucket_topk(corpus, qdf, k=10, dim=64, n_planes=6, n_probe_bits=4).collect()
+    }
+    assert len(multi) == 10  # no duplicate ids after multi-probe dedup
+    assert len(multi & exact) >= len(single & exact)  # recall monotone in probes
+
+
+def test_media_repartition_deterministic_balances_bytes(spark):
+    rows = [
+        (i, "image", bytearray(b"x" * (500_000 if i < 4 else 1_000)), ("m", 1, 1, 10))
+        for i in range(100)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    rp = media_repartition(media, target_bytes=600_000, deterministic=True)
+    per_part = (
+        rp.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.sum(F.length("content")).alias("b"))
+        .collect()
+    )
+    sizes = sorted(r.b for r in per_part)
+    # LPT round-robin: the 4 big blobs (500k each) must not co-locate —
+    # every partition stays under max_blob + total/n
+    total = 4 * 500_000 + 96 * 1_000
+    n = len(sizes)
+    assert sizes[-1] <= 500_000 + total // n + 1_000, sizes

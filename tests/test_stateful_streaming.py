@@ -1,0 +1,62 @@
+"""applyInPandasWithState position tracker: streaming result must equal the
+batch fold, including state carried across multiple micro-batches."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from traderjoe_etl_spark.sources.tables import read_table
+from traderjoe_etl_spark.streaming.stateful import running_position_tracker
+
+
+def test_position_tracker_matches_batch_fold(spark, sf_smoke):
+    d = tempfile.mkdtemp(prefix="stateful_src_")
+    events = read_table(spark, sf_smoke, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # two separate files → at least two micro-batch opportunities
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(d + "/a")
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(d + "/b")
+    schema = spark.read.parquet(d + "/a").schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/{a,b}")
+
+    tracked = running_position_tracker(src)
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("positions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # update mode: last emission per user is the final state
+    final = spark.sql(
+        """
+        SELECT user_id, net_value, n_events FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+            FROM positions
+        ) WHERE rn = 1
+        """
+    ).collect()
+
+    sign = F.when(F.col("event_type") == "purchase", 1.0).when(
+        F.col("event_type") == "error", -1.0
+    ).otherwise(0.0)
+    expected = {
+        r.user_id: (r.net, r.n)
+        for r in events.groupBy("user_id")
+        .agg(F.sum(F.col("value") * sign).alias("net"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(final) == len(expected)
+    for r in final:
+        exp_net, exp_n = expected[r.user_id]
+        assert r.n_events == exp_n, r.user_id
+        assert abs(r.net_value - exp_net) < 1e-6, (r.user_id, r.net_value, exp_net)

@@ -61,17 +61,36 @@ def _fake_decode(blob: bytes, dim: int) -> list[float]:
     return [blob[min(i * step, len(blob) - 1)] / 255.0 for i in range(dim)]
 
 
-def media_repartition(df: DataFrame, target_bytes: int = 64 * 1024 * 1024) -> DataFrame:
-    """Size the partition COUNT by total bytes, then spread rows by a
-    media_id hash.
+def media_repartition(
+    df: DataFrame, target_bytes: int = 64 * 1024 * 1024, deterministic: bool = False
+) -> DataFrame:
+    """Size the partition COUNT by total bytes, then spread rows across
+    partitions.
 
-    The partition count comes from the byte volume (total/target), and the
-    hash spread scatters large blobs uniformly across partitions in
-    expectation. (Range-partitioning by blob size would do the opposite —
+    - default: hash-spread on media_id — uniform in expectation, no extra
+      pass; a couple of large blobs can still land together (birthday).
+    - ``deterministic=True``: LPT round-robin — rank rows by descending
+      blob size (one global window over row COUNT, cheap next to the blob
+      bytes) and assign ``rank % n_parts``, which provably bounds any
+      partition at ~(max_blob + total/n) bytes.
+
+    (Range-partitioning by blob size would do the opposite of either —
     co-locate all the biggest blobs in the top range.)"""
+    from pyspark.sql import Window
+
     total = df.agg(F.sum(F.length("content"))).collect()[0][0] or 0
     n_parts = max(1, int(total / target_bytes))
-    return df.repartition(n_parts, F.xxhash64("media_id"))
+    if not deterministic:
+        return df.repartition(n_parts, F.xxhash64("media_id"))
+    w = Window.orderBy(F.length("content").desc(), "media_id")
+    return (
+        df.withColumn("__bucket", F.pmod(F.row_number().over(w) - 1, F.lit(n_parts)))
+        # range partitioning maps the 0..n-1 bucket ids onto partitions in
+        # order (hash repartition could collide two buckets into one task,
+        # voiding the byte bound)
+        .repartitionByRange(n_parts, "__bucket")
+        .drop("__bucket")
+    )
 
 
 def extract_features(

@@ -92,18 +92,36 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
     seed: int = 42,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: only corpus rows in the query's LSH bucket are
-    scored. Recall < 1 by construction (tunable via n_planes / multi-probe);
-    the point is the candidate set is ~n/2^planes of the corpus."""
+    """Approximate top-k: only corpus rows in the query's LSH bucket(s) are
+    scored. ``n_probe_bits > 0`` enables multi-probe: also search every
+    bucket within Hamming distance 1 on the first ``n_probe_bits`` plane
+    bits (near-boundary neighbors land there) — recall rises at the cost of
+    probing ``1 + n_probe_bits`` buckets. Candidate set stays
+    ~(1+probes)·n/2^planes of the corpus."""
     planes = random_hyperplanes(dim, n_planes, seed=seed)
     c = corpus.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
-    q = query.withColumn("__bucket", lsh_bucket_key(query_vec_col, planes))
+    base = query.withColumn("__bucket", lsh_bucket_key(query_vec_col, planes))
+    if n_probe_bits > 0:
+        # expand the query row into its probe buckets (flip one bit each)
+        flips = [F.col("__bucket")]
+        for i in range(min(n_probe_bits, n_planes)):
+            flipped_bit = F.when(F.substring("__bucket", i + 1, 1) == "1", "0").otherwise("1")
+            flips.append(
+                F.concat(
+                    F.substring("__bucket", 1, i),
+                    flipped_bit,
+                    F.substring("__bucket", i + 2, n_planes - i - 1),
+                )
+            )
+        base = base.withColumn("__bucket", F.explode(F.array(*flips)))
+    q = base
     joined = c.join(F.broadcast(q), "__bucket")
     scored = joined.select(
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
-    )
+    ).dropDuplicates([id_col])  # multi-probe can hit a row via several buckets
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 

