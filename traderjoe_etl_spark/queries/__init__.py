@@ -54,6 +54,7 @@ def load_all() -> None:
         pipeline_queries,
         reference_semantics,
         relational,
+        stateful_queries,
         tpch_shapes,
         text_analysis,
         windows_scalars,

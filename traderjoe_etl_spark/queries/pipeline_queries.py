@@ -58,7 +58,11 @@ def _synth_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Snapshot
         F.lit(10.0).alias("liquidityDepthMinus"), F.lit(12.0).alias("liquidityDepthPlus"),
         F.lit(5.0).alias("liquidityDepthTokenX"), F.lit(6.0).alias("liquidityDepthTokenY"),
     )
-    pools_1d = spark.createDataFrame(pools_rows.collect(), POOL_STATS_SCHEMA)
+    # cast every column to the declared schema type relationally — no
+    # driver-side collect round trip
+    pools_1d = pools_rows.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in POOL_STATS_SCHEMA.fields]
+    )
     pools_1h = pools_1d
 
     history = events.filter(F.col("event_type") == "purchase").select(
