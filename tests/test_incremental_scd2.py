@@ -1,0 +1,110 @@
+"""Trigger-once incremental SCD2 snapshot versioning: the streaming merge
+must produce a table identical to sequential batch merges, with
+crash-safe versioned commits."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from traderjoe_etl_spark.operators.scd import scd2_init, scd2_merge
+from traderjoe_etl_spark.streaming.incremental import (
+    current_version,
+    incremental_scd2_query,
+    incremental_scd2_sink,
+    read_scd2_table,
+)
+
+SCHEMA = "pair string, apr double, ts timestamp"
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        [(p, a, datetime.fromisoformat(t)) for p, a, t in rows], SCHEMA
+    )
+
+
+BATCHES = [
+    [("A", 1.0, "2026-01-01T00:00:00"), ("B", 2.0, "2026-01-01T00:00:00")],
+    [
+        ("A", 1.5, "2026-01-01T01:00:00"),
+        ("B", 2.0, "2026-01-01T01:00:00"),
+        ("C", 9.0, "2026-01-01T01:00:00"),
+    ],
+    [("C", 9.5, "2026-01-01T02:00:00")],
+]
+
+
+def _key(r):
+    return (r.pair, r.apr, r.ts, r.valid_from, r.valid_to, r.is_current)
+
+
+def _batch_fold(spark):
+    cur = scd2_init(_snap(spark, BATCHES[0]), "ts")
+    for b in BATCHES[1:]:
+        cur = scd2_merge(cur, _snap(spark, b), keys=["pair"], compare_cols=["apr"], ts_col="ts")
+    return cur
+
+
+def test_streaming_merge_equals_batch_fold(spark):
+    src = tempfile.mkdtemp(prefix="inc_src_")
+    table = tempfile.mkdtemp(prefix="inc_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="inc_ckpt_")
+    for i, b in enumerate(BATCHES):
+        _snap(spark, b).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+
+    updates = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = incremental_scd2_query(
+        updates, table, ckpt, keys=["pair"], compare_cols=["apr"], ts_col="ts"
+    )
+    q.awaitTermination(300)
+
+    got = sorted(read_scd2_table(spark, table).collect(), key=_key)
+    want = sorted(_batch_fold(spark).collect(), key=_key)
+    assert [_key(r) for r in got] == [_key(r) for r in want]
+
+    ptr = current_version(table)
+    assert ptr["version"] >= 1
+    # every committed version directory still readable (snapshot isolation)
+    for v in range(ptr["version"] + 1):
+        assert spark.read.parquet(f"{table}/v={v}").count() > 0
+
+    # relaunch with nothing pending: checkpoint prevents re-merge
+    q2 = incremental_scd2_query(
+        updates, table, ckpt, keys=["pair"], compare_cols=["apr"], ts_col="ts"
+    )
+    q2.awaitTermination(300)
+    again = sorted(read_scd2_table(spark, table).collect(), key=_key)
+    assert [_key(r) for r in again] == [_key(r) for r in want]
+
+
+def test_sink_retry_is_idempotent(spark):
+    table = tempfile.mkdtemp(prefix="inc_retry_")
+    sink = incremental_scd2_sink(table, keys=["pair"], compare_cols=["apr"], ts_col="ts")
+    sink(_snap(spark, BATCHES[0]), 0)
+    sink(_snap(spark, BATCHES[1]), 1)
+    v_before = current_version(table)["version"]
+    n_before = read_scd2_table(spark, table).count()
+    sink(_snap(spark, BATCHES[1]), 1)  # foreachBatch redelivery
+    assert current_version(table)["version"] == v_before
+    assert read_scd2_table(spark, table).count() == n_before
+
+
+def test_multi_ts_batch_folds_in_order(spark):
+    # one drained batch containing all three snapshot hours must yield the
+    # same history as three sequential merges
+    table = tempfile.mkdtemp(prefix="inc_multi_")
+    sink = incremental_scd2_sink(table, keys=["pair"], compare_cols=["apr"], ts_col="ts")
+    allrows = [r for b in BATCHES for r in b]
+    sink(_snap(spark, allrows), 0)
+    got = sorted(read_scd2_table(spark, table).collect(), key=_key)
+    want = sorted(_batch_fold(spark).collect(), key=_key)
+    assert [_key(r) for r in got] == [_key(r) for r in want]
