@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -144,34 +144,50 @@ def ivf_assign(
     """
     centroids_df = emb.orderBy(id_col).limit(n_centroids).select(F.col(vec_col).alias("centroid"))
     # stable small collect → cluster id = enumeration order of the
-    # id-ordered seed rows; rebuilt as a literal relation each iteration
+    # id-ordered seed rows; re-entered as literal expressions each iteration
     cents = [(i, list(r.centroid)) for i, r in enumerate(centroids_df.collect())]
     spark = emb.sparkSession
 
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0
+        return [float(x) / n for x in v]
+
     def assign(cent_rows) -> DataFrame:
-        cdf = spark.createDataFrame(cent_rows, "cluster int, centroid array<float>")
-        joined = emb.crossJoin(F.broadcast(cdf))
-        scored = joined.withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
-        w_best = F.max(F.struct(F.col("__sim"), F.col("cluster"))).over(
-            Window.partitionBy(id_col)
+        # map-only nearest-centroid: argmax cosine == argmax dot against
+        # UNIT centroids (row norm is constant per row), so assignment is
+        # one narrow expression per row — no crossJoin, no per-id window
+        # shuffle; the corpus scan stays pipeline-parallel at any scale.
+        # Ties resolve to the highest cluster id (struct max), matching the
+        # previous max(struct(sim, cluster)) semantics.
+        arr = F.array(
+            *[
+                F.struct(
+                    _dot(F.col(vec_col), F.array(*[F.lit(x) for x in _unit(v)])).alias("sim"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, v in cent_rows
+            ]
         )
-        return (
-            scored.withColumn("__best", w_best)
-            .filter(F.col("cluster") == F.col("__best.cluster"))
-            .drop("__sim", "__best", "centroid")
-        )
+        return emb.withColumn("cluster", F.array_max(arr)["cluster"])
 
     assigned = assign(cents)
+    n_dim = len(cents[0][1]) if cents else 0
     for _ in range(lloyd_iters):
-        new_cents = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cluster", F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"))
+        # centroid update = per-cluster element-wise mean: one groupBy with
+        # dim sum-aggregates (map-side partial combine → the shuffle carries
+        # n_clusters × (dim+1) doubles per map partition), instead of
+        # posexplode-ing n×dim rows through two shuffles
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"__s{i}")
+                for i in range(n_dim)
+            ],
         )
-        cents = [(r.cluster, list(r.centroid)) for r in new_cents.collect()]
+        cents = [
+            (r["cluster"], [r[f"__s{i}"] / r["__n"] for i in range(n_dim)])
+            for r in sums.collect()
+        ]
         assigned = assign(cents)
     cent_final = spark.createDataFrame(cents, "cluster int, centroid array<float>")
     return assigned, cent_final
@@ -187,21 +203,34 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
 ) -> DataFrame:
-    """IVF search: rank centroids against the query, probe the ``n_probe``
-    nearest clusters, exact cosine within them. Scan cost ≈
-    n_probe/n_centroids of the corpus — the 100-TB ANN path next to the
-    LSH variant."""
-    probe = (
-        query.crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", cosine(F.col(query_vec_col), F.col("centroid")))
-        .orderBy(F.col("__sim").desc())
-        .limit(n_probe)
-        .select("cluster", query_vec_col)
+    """IVF search for a single query vector: rank centroids against the
+    query, probe the ``n_probe`` nearest clusters, exact cosine within
+    them. Scan cost ≈ n_probe/n_centroids of the corpus — the 100-TB ANN
+    path next to the LSH variant.
+
+    Centroid ranking happens on the DRIVER: the coarse quantizer is
+    n_centroids × dim floats (kilobytes) by construction, so ranking it is
+    O(n_centroids·dim) flops — spinning up a cluster job (crossJoin +
+    sort + broadcast exchange) for that would cost three scheduling
+    round-trips to save microseconds. The resulting probe set enters the
+    plan as an ``isin`` filter pushed into the corpus scan — partition-
+    prunable when the index is stored partitioned by ``cluster``."""
+    cent_rows = centroids.collect()
+    qv = [float(x) for x in query.select(query_vec_col).first()[0]]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    ranked = sorted(
+        ((r["cluster"], _cos(qv, [float(x) for x in r["centroid"]])) for r in cent_rows),
+        key=lambda t: (-t[1], t[0]),
     )
-    cand = corpus_assigned.join(F.broadcast(probe), "cluster")
-    scored = cand.select(
-        F.col(id_col), cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine")
-    )
+    probe_ids = [c for c, _ in ranked[:n_probe]]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    cand = corpus_assigned.filter(F.col("cluster").isin(probe_ids))
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
