@@ -55,7 +55,21 @@ def gini_impurity(counts: pd.Series) -> pd.Series:
     return counts.map(one)
 
 
+@pandas_udf(T.DoubleType())
+def median_abs_deviation(v: pd.Series) -> float:
+    """Grouped-agg pandas UDAF (Series → scalar): robust spread measure
+    with no built-in Spark equivalent (two nested medians). Arrives per
+    group as one Arrow batch; partial aggregation does NOT apply — at scale
+    a skewed group lands on one executor, so pair with a salting pre-pass
+    or the approx sketch path when groups exceed executor memory."""
+    d = v.dropna()
+    if d.empty:
+        return None
+    return float((d - d.median()).abs().median())
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Expose the UDF surface to SQL (`SELECT big_decimal_ratio(...)`)."""
     spark.udf.register("big_decimal_ratio", big_decimal_ratio)
     spark.udf.register("gini_impurity", gini_impurity)
+    spark.udf.register("median_abs_deviation", median_abs_deviation)

@@ -57,6 +57,7 @@ def load_all() -> None:
         stateful_queries,
         tpch_shapes,
         text_analysis,
+        udf_surface,
         windows_scalars,
     )
 
