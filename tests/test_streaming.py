@@ -19,6 +19,7 @@ from traderjoe_etl_spark.streaming.jobs import (
     hourly_snapshot_query,
     session_window_agg,
     stream_dedup,
+    stream_stream_interval_join,
     windowed_event_agg,
 )
 
@@ -89,6 +90,32 @@ def test_stream_dedup_drops_watermark_duplicates(spark, event_dir):
     n = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM dedup").collect()[0]
     batch_n = spark.read.schema(EVENTS_SCHEMA).parquet(event_dir).count()
     assert n.c == n.d == batch_n
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    views = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_dir).filter(
+        F.col("event_type") == "view"
+    )
+    buys = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(
+        views, buys, key="user_id", ts_col="ts", within="1 hour", watermark="0 seconds"
+    )
+    _drain(joined.select("user_id", "event_id", "event_id_r"), "ssjoin")
+    got = spark.sql("SELECT count(*) AS c FROM ssjoin").collect()[0].c
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(event_dir)
+    bv = batch.filter(F.col("event_type") == "view").alias("l")
+    bb = batch.filter(F.col("event_type") == "purchase").alias("r")
+    expected = bv.join(
+        bb,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 hour")),
+        "inner",
+    ).count()
+    assert got == expected and got > 0
 
 
 def test_hourly_snapshot_query_appends(spark, event_dir):

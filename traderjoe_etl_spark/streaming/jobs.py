@@ -88,6 +88,36 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right-side events matching the same ``key`` within ``[left.ts,
+    left.ts + within]``. Both sides carry watermarks so the join state for
+    expired time ranges is dropped — bounded state at any scale, the
+    streaming analog of the range join (SURVEY.md §2B joins; the
+    reference's J1/J2 lookups generalized to two live feeds).
+
+    Right-side columns (except the key) come back suffixed ``_r``."""
+    r = right
+    for c in right.columns:
+        if c != key:
+            r = r.withColumnRenamed(c, f"{c}_r")
+    lw = left.withWatermark(ts_col, watermark)
+    rw = r.withWatermark(f"{ts_col}_r", watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[f"{ts_col}_r"] >= lw[ts_col])
+        & (rw[f"{ts_col}_r"] <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def hourly_snapshot_query(
     snapshot_batches: DataFrame,
     sink_path: str,
