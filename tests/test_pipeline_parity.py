@@ -126,6 +126,31 @@ def test_column_order_full(snapshot):
     assert list(snapshot.keys()) == SNAPSHOT_ORDER
 
 
+def test_strict_repr_packed_string(spark):
+    # floats whose JVM rendering differs from Python repr: 1e16 (Spark
+    # "1.0E16") and 0.0001 (Spark "1.0E-4") — strict mode must emit the
+    # reference's f-string bytes (main.py:168)
+    inputs = SnapshotInputs(
+        pools_1d=spark.createDataFrame([_pool_row()], POOL_STATS_SCHEMA),
+        pools_1h=spark.createDataFrame([_pool_row()], POOL_STATS_SCHEMA),
+        history=spark.createDataFrame([], USER_HISTORY_SCHEMA),
+        fees=spark.createDataFrame(
+            [
+                {"user_address": USER, "poolAddress": POOL, "binId": 5,
+                 "accruedFeesX": 1e16, "accruedFeesY": 0.0001},
+            ],
+            FEES_EARNED_SCHEMA,
+        ),
+        bins=spark.createDataFrame([], BINS_RESERVE_SCHEMA),
+    )
+    pairs = spark.createDataFrame([(USER, POOL)], "user_address string, pool_address string")
+    row = build_snapshot(pairs, inputs, RUN_TS, strict_repr=True).collect()[0].asDict()
+    assert row["fees_per_bin(bin_id: token_x, token_y_amounts)"] == f"(5: {1e16!r}, {0.0001!r})"
+    # default mode keeps the (documented) JVM rendering
+    row_jvm = build_snapshot(pairs, inputs, RUN_TS).collect()[0].asDict()
+    assert row_jvm["fees_per_bin(bin_id: token_x, token_y_amounts)"] == "(5: 1.0E16, 1.0E-4)"
+
+
 def test_argmax_tie_sums_all_rows(snapshot):
     # block 200 wins; within it ts 00:10 wins; BOTH tied rows summed
     # (main.py:130-135; rank not row_number — SURVEY §2C.4)

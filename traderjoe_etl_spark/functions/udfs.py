@@ -55,6 +55,19 @@ def gini_impurity(counts: pd.Series) -> pd.Series:
     return counts.map(one)
 
 
+@pandas_udf(T.StringType())
+def py_float_repr(v: pd.Series) -> pd.Series:
+    """Python ``repr`` rendering of doubles (shortest round-trip form:
+    ``0.0001`` / ``1e+16``), for strict byte-parity with the reference's
+    f-string packing (main.py:168, 239) where Spark's JVM rendering
+    (``1.0E-4`` / ``1.0E16``) differs. Formatting is presentation-layer
+    only, so this UDF sits at the final projection — never in a hot
+    aggregation path."""
+    return pd.Series(
+        [None if x is None or pd.isna(x) else repr(float(x)) for x in v], dtype="object"
+    )
+
+
 @pandas_udf(T.DoubleType())
 def median_abs_deviation(v: pd.Series) -> float:
     """Grouped-agg pandas UDAF (Series → scalar): robust spread measure
@@ -73,3 +86,4 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("big_decimal_ratio", big_decimal_ratio)
     spark.udf.register("gini_impurity", gini_impurity)
     spark.udf.register("median_abs_deviation", median_abs_deviation)
+    spark.udf.register("py_float_repr", py_float_repr)

@@ -19,7 +19,8 @@ Documented deviations from the reference (SURVEY.md §2C):
 - joins are on (user_address, pool_address), not the collision-prone
   ``pool_name`` (§2C.5);
 - per-bin packed strings are sorted by binId (§2C.1) and the structured
-  array columns are kept alongside;
+  array columns are kept alongside; float rendering is JVM by default,
+  Python-repr byte-parity under ``build_snapshot(..., strict_repr=True)``;
 - wall-clock is an injected ``run_ts`` parameter (§2C.6);
 - ``/0 → inf`` is scrubbed via nullif at derivation time (§2C.2).
 """
@@ -29,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.casts import lenient_cast
@@ -124,7 +125,18 @@ def _history_summary(inputs: SnapshotInputs) -> DataFrame:
     )
 
 
-def _fees_summary(inputs: SnapshotInputs) -> DataFrame:
+def _render_float(col: Column, strict_repr: bool) -> Column:
+    """Double → string for the packed bin strings: JVM rendering by default;
+    Python-repr (pandas UDF) under strict parity mode, where the byte form
+    must match the reference's f-strings (§2C.1 deviation closed)."""
+    if strict_repr:
+        from ..functions.udfs import py_float_repr
+
+        return py_float_repr(col)
+    return col.cast("string")
+
+
+def _fees_summary(inputs: SnapshotInputs, strict_repr: bool = False) -> DataFrame:
     """A4+A5 (reference main.py:158-181): per-pair fee totals plus the
     packed ``"(binId: feesX, feesY; …)"`` string, sorted by binId for
     determinism (§2C.1; the reference relied on API order)."""
@@ -138,7 +150,11 @@ def _fees_summary(inputs: SnapshotInputs) -> DataFrame:
     rendered = F.concat_ws(
         ": ",
         F.col("binId").cast("string"),
-        F.concat_ws(", ", F.col("feesX").cast("string"), F.col("feesY").cast("string")),
+        F.concat_ws(
+            ", ",
+            _render_float(F.col("feesX"), strict_repr),
+            _render_float(F.col("feesY"), strict_repr),
+        ),
     )
     # single-pass: totals AND the sorted packed string in ONE groupBy
     # (two groupBys + self-join would shuffle twice and join for nothing)
@@ -160,7 +176,9 @@ def _fees_summary(inputs: SnapshotInputs) -> DataFrame:
     )
 
 
-def _contract_summary(inputs: SnapshotInputs, pool_decimals: DataFrame) -> DataFrame:
+def _contract_summary(
+    inputs: SnapshotInputs, pool_decimals: DataFrame, strict_repr: bool = False
+) -> DataFrame:
     """P11+P12 (reference main.py:227-250): per-bin pro-rata share of
     reserves, decimal-scaled, summed per pair + packed bin string.
 
@@ -198,7 +216,11 @@ def _contract_summary(inputs: SnapshotInputs, pool_decimals: DataFrame) -> DataF
     rendered = F.concat_ws(
         ": ",
         F.col("binId").cast("string"),
-        F.concat_ws(", ", F.col("ux").cast("string"), F.col("uy").cast("string")),
+        F.concat_ws(
+            ", ",
+            _render_float(F.col("ux"), strict_repr),
+            _render_float(F.col("uy"), strict_repr),
+        ),
     )
     packed = F.concat(
         F.lit("("),
@@ -224,18 +246,21 @@ def build_snapshot(
     pairs: DataFrame,
     inputs: SnapshotInputs,
     run_ts: datetime,
+    strict_repr: bool = False,
 ) -> DataFrame:
     """Assemble the 46-column snapshot for every (user, pool) pair at once.
 
     ``pairs``: DataFrame(user_address, pool_address) — the S1 cross product
     (reference main.py:11-12), now a relation. ``run_ts``: injected wall
-    clock (replaces main.py:171, 271 — §2C.6).
+    clock (replaces main.py:171, 271 — §2C.6). ``strict_repr``: render the
+    packed-string floats with Python ``repr`` for byte-parity with the
+    reference's f-strings (default: JVM rendering, documented deviation).
     """
     pools = _pool_dim(inputs)
     history = _history_summary(inputs)
-    fees = _fees_summary(inputs)
+    fees = _fees_summary(inputs, strict_repr)
     decimals = pools.select("pool_address", "token_x_decimals", "token_y_decimals")
-    contract = _contract_summary(inputs, decimals)
+    contract = _contract_summary(inputs, decimals, strict_repr)
 
     # J1/J2/P13 as keyed left joins; pool dim is broadcast (tiny at any SF).
     df = (
