@@ -270,66 +270,64 @@ def build_snapshot(
         .join(contract, PAIR_KEYS, "left")
     )
 
-    # Empty-deposit defaults (main.py:143-153): zeros for amounts, NULL time.
-    df = df.withColumn(
-        "total_tokenX_amount_initial_deposit",
-        F.coalesce("total_tokenX_amount_initial_deposit", F.lit(0.0)),
-    ).withColumn(
-        "total_tokenY_amount_initial_deposit",
-        F.coalesce("total_tokenY_amount_initial_deposit", F.lit(0.0)),
-    )
-    # Empty fees / bins defaults: the reference's loops over an empty list
-    # yield 0 totals and a literal "()" packed string (main.py:159-170,
-    # 227-244); pairs absent from those relations get the same here.
-    for col, default in (
-        ("accrued_fees_token_x", F.lit(0.0)),
-        ("accrued_fees_token_y", F.lit(0.0)),
-        ("fees_per_bin(bin_id: token_x, token_y_amounts)", F.lit("()")),
-        ("token_x_amount", F.lit(0.0)),
-        ("token_y_amount", F.lit(0.0)),
-        ("bin_distribution(bin id: token_x_amount, token_y_amounts)", F.lit("()")),
-    ):
-        df = df.withColumn(col, F.coalesce(F.col(f"`{col}`"), default))
+    # Every withColumn re-analyzes the (growing) plan — a chain of ~20 was
+    # >1 s of pure driver time on this DAG. Batched withColumns calls keep
+    # it to three analysis passes; intra-batch dependencies are expressed by
+    # sharing the Column expression objects (codegen CSEs the duplicates).
 
-    # D1 (main.py:198-201)
-    df = df.withColumn(
-        "value_if_held(USD)",
+    # Empty-branch defaults (main.py:143-153, 159-170, 227-244): zeros for
+    # amounts, "()" packed strings, NULL time — the reference's loops over
+    # empty lists, supplied here by coalesce after the left joins.
+    df = df.withColumns(
+        {
+            "total_tokenX_amount_initial_deposit": F.coalesce(
+                "total_tokenX_amount_initial_deposit", F.lit(0.0)
+            ),
+            "total_tokenY_amount_initial_deposit": F.coalesce(
+                "total_tokenY_amount_initial_deposit", F.lit(0.0)
+            ),
+            "accrued_fees_token_x": F.coalesce("accrued_fees_token_x", F.lit(0.0)),
+            "accrued_fees_token_y": F.coalesce("accrued_fees_token_y", F.lit(0.0)),
+            "fees_per_bin(bin_id: token_x, token_y_amounts)": F.coalesce(
+                F.col("`fees_per_bin(bin_id: token_x, token_y_amounts)`"), F.lit("()")
+            ),
+            "token_x_amount": F.coalesce("token_x_amount", F.lit(0.0)),
+            "token_y_amount": F.coalesce("token_y_amount", F.lit(0.0)),
+            "bin_distribution(bin id: token_x_amount, token_y_amounts)": F.coalesce(
+                F.col("`bin_distribution(bin id: token_x_amount, token_y_amounts)`"),
+                F.lit("()"),
+            ),
+        }
+    )
+
+    # D1-D6 (main.py:198-201, 257-269, 275-286) + P9 injected wall clock
+    # (main.py:171, 271-273); nullif (safe_div) replaces divide-then-scrub.
+    vih = (
         F.col("total_tokenX_amount_initial_deposit") * F.col("token_x_price")
-        + F.col("total_tokenY_amount_initial_deposit") * F.col("token_y_price"),
+        + F.col("total_tokenY_amount_initial_deposit") * F.col("token_y_price")
     )
-    # D2 (main.py:257-259)
-    df = (
-        df.withColumn("token_x(USD)", F.col("token_x_price") * F.col("token_x_amount"))
-        .withColumn("token_y(USD)", F.col("token_y_price") * F.col("token_y_amount"))
-        .withColumn("total_token_value(USD)", F.col("token_x(USD)") + F.col("token_y(USD)"))
-    )
-    # D3 (main.py:261-262)
-    df = df.withColumn(
-        "accrued_fees_token_x(USD)", F.col("accrued_fees_token_x") * F.col("token_x_price")
-    ).withColumn(
-        "accrued_fees_token_y(USD)", F.col("accrued_fees_token_y") * F.col("token_y_price")
-    )
-    # D4 (main.py:264)
-    df = df.withColumn(
-        "impermanent_loss(USD)", F.col("value_if_held(USD)") - F.col("total_token_value(USD)")
-    )
-    # D5 (main.py:266-269) — nullif replaces the divide-then-scrub
-    df = df.withColumn(
-        "user_%_of_pool_liquidity",
-        safe_div(F.col("total_token_value(USD)"), F.col("pool[liquidity]")) * 100,
-    )
-    # D6 (main.py:275-286)
+    tx_usd = F.col("token_x_price") * F.col("token_x_amount")
+    ty_usd = F.col("token_y_price") * F.col("token_y_amount")
+    total_usd = tx_usd + ty_usd
     fees_1d = F.col("`pool[total_fees(USD)](1d)`")
     liq = F.col("`pool[liquidity]`")
-    df = (
-        df.withColumn("fees_annual", fees_1d * 365)
-        .withColumn("APR%", safe_div(F.col("fees_annual"), liq) * 100)
-        .withColumn("APY%", (F.pow(1 + safe_div(fees_1d, liq), 365) - 1) * 100)
-        .withColumn("APR_1d%", safe_div(fees_1d, liq) * 100)
-    )
-    # P9 (main.py:171, 271-273): injected wall clock
-    df = df.withColumn("current_unix_timestamp", F.lit(int(run_ts.timestamp()))).withColumn(
-        "timestamp(datetime_pst)", F.lit(run_ts.strftime("%Y-%m-%d %H:%M:%S"))
+    df = df.withColumns(
+        {
+            "value_if_held(USD)": vih,
+            "token_x(USD)": tx_usd,
+            "token_y(USD)": ty_usd,
+            "total_token_value(USD)": total_usd,
+            "accrued_fees_token_x(USD)": F.col("accrued_fees_token_x") * F.col("token_x_price"),
+            "accrued_fees_token_y(USD)": F.col("accrued_fees_token_y") * F.col("token_y_price"),
+            "impermanent_loss(USD)": vih - total_usd,
+            "user_%_of_pool_liquidity": safe_div(total_usd, liq) * 100,
+            "fees_annual": fees_1d * 365,
+            "APR%": safe_div(fees_1d * 365, liq) * 100,
+            "APY%": (F.pow(1 + safe_div(fees_1d, liq), 365) - 1) * 100,
+            "APR_1d%": safe_div(fees_1d, liq) * 100,
+            "current_unix_timestamp": F.lit(int(run_ts.timestamp())),
+            "timestamp(datetime_pst)": F.lit(run_ts.strftime("%Y-%m-%d %H:%M:%S")),
+        }
     )
     # P14 (main.py:293-343)
     return reorder_existing(df, SNAPSHOT_ORDER)
