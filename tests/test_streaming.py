@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 
 from traderjoe_etl_spark.streaming.jobs import (
     hourly_snapshot_query,
+    rate_event_source,
     session_window_agg,
     stream_dedup,
     stream_stream_interval_join,
@@ -90,6 +91,26 @@ def test_stream_dedup_drops_watermark_duplicates(spark, event_dir):
     n = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM dedup").collect()[0]
     batch_n = spark.read.schema(EVENTS_SCHEMA).parquet(event_dir).count()
     assert n.c == n.d == batch_n
+
+
+def test_rate_source_shapes_events(spark):
+    src = rate_event_source(spark, rows_per_batch=40, n_users=7)
+    assert [f.name for f in src.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value",
+    ]
+    q = (
+        windowed_event_agg(src, window="1 minute", watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT sum(n) AS n FROM rate_agg").collect()[0]
+    assert rows.n is not None and rows.n % 40 == 0 and rows.n > 0
+    types = {r.event_type for r in spark.sql("SELECT DISTINCT event_type FROM rate_agg").collect()}
+    assert types <= {"view", "click", "purchase"}
 
 
 def test_stream_stream_join_matches_batch(spark, event_dir):
