@@ -60,6 +60,46 @@ def cosine_topk_brute(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    round_digits: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of query vectors (the retrieval /
+    dedup-against-a-set shape): broadcast the query set, score corpus × Q
+    in one shuffle-free scan, per-query top-k via row_number.
+
+    Spark plans the rank≤k filter as WindowGroupLimit (partial → final):
+    each map task keeps a k-heap per query BEFORE the exchange, so the
+    shuffle carries ≤ k·partitions rows per query — no corpus×Q blowup even
+    with a skewed handful of query keys. ``round_digits`` orders by the
+    ROUNDED score (tie-broken by id) so cross-engine comparisons are
+    deterministic at the rounding grid."""
+    from pyspark.sql import Window
+
+    j = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        # drop the trivial self-match BEFORE ranking, else it occupies a
+        # top-k slot for every query that exists in the corpus
+        j = j.filter(F.col(id_col) != F.col(query_id_col))
+    score = cosine(F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = j.select(F.col(query_id_col), F.col(id_col), score.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-ish Gaussian hyperplanes (driver-side constants,
     broadcast into the plan as literals)."""

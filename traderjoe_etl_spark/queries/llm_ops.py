@@ -156,10 +156,14 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cosine_topk",
     oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
     sims AS (
+        -- DOUBLE[] widening before the similarity: FLOAT[] would
+        -- accumulate in float32, ~2 ulp off the engine's double math
         SELECT e.vec_id,
-               round(list_cosine_similarity(e.embedding, q.qv), 6) AS cosine
+               round(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cosine
         FROM embeddings e, q
         WHERE e.vec_id <> 0
     )
@@ -178,6 +182,40 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     out = cosine_topk_brute(emb.filter(F.col("vec_id") != 0), qv, k=10, id_col="vec_id")
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "cosine_topk_batch",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    sims AS (
+        -- float32 lists must be widened BEFORE the similarity: DuckDB
+        -- accumulates FLOAT[] in float32 (≈2 ulp off the engine's double
+        -- math at the 6th decimal), DOUBLE[] in double
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine
+    FROM sims
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) <= 5
+    """,
+)
+def cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query exact top-k for a batch of query vectors — WindowGroupLimit
+    keeps the rank filter map-side (shuffle ≤ k·partitions rows/query)."""
+    from ..operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk_batch(emb, queries, k=5, round_digits=6, exclude_self=True)
 
 
 @query("minhash_near_dup")  # rows-only: banding/hash choices are engine-specific
