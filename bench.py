@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_near_dup",
     "cosine_topk",
+    "cosine_topk_batch",
     "quality_scores",
     "snapshot_pipeline",
     "ivf_cosine_topk",
