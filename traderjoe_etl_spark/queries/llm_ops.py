@@ -218,6 +218,51 @@ def cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_batch(emb, queries, k=5, round_digits=6, exclude_self=True)
 
 
+@query("simhash_near_dup")  # rows-only: the fingerprint hash family is engine-defined
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs over documents: 64-bit fingerprints,
+    banded self-join blocking, exact Hamming filter (SURVEY.md §2B ◆).
+
+    Blocking is pigeonhole-exact: with the fingerprint split into 4×16-bit
+    bands, any pair within Hamming distance 3 shares at least one whole
+    band, so the self-join on (band, key) misses nothing while touching
+    ~n/2^16 of the pair space per band. The fingerprint table (one long per
+    doc) is persisted so the self-join doesn't recompute the token pass."""
+    from ..operators.dedup import hamming_distance, simhash_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprint(docs, "doc_id", "text").persist()
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key"
+    )
+    pairs = (
+        a.join(c, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance("fp_a", "fp_b").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs
+
+
 @query("minhash_near_dup")  # rows-only: banding/hash choices are engine-specific
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs over documents
