@@ -80,11 +80,12 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col), F.explode(_word_shingles(text_col, k=shingle_k)).alias("__sh")
     ).select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
-    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    # expr strings: one py4j call per aggregate vs ~5 for the composed form
+    # (same plan; see simhash_fingerprint for the measured difference)
+    mins = [F.expr(f"min(xxhash64(__h, {i})) AS __m{i}") for i in range(num_hashes)]
     per_doc = exploded.groupBy(id_col).agg(*mins)
-    return per_doc.select(
-        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    sig = "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
+    return per_doc.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def minhash_lsh_candidates(
