@@ -1,0 +1,44 @@
+"""Partition-count invariance: results must be BIT-IDENTICAL regardless of
+how the data is partitioned — the property that makes a query's answer
+stable between local[32] and a 1000-executor cluster. Float sums reassociate
+under different partitionings; the engine's decimal money sums and rounding
+discipline exist precisely so this test holds."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+CASES = [
+    "pricing_summary",      # decimal exact sums over the fact table
+    "revenue_by_region",    # two-level hybrid decimal roll-up + joins
+    "rollup_fees_report",   # rollup grouping sets
+    "latest_deposit_per_user",  # window argmax
+    "percentiles_by_flag",  # sort-based exact percentiles
+    "stream_hourly_rollup", # time bucketing + aggregation
+]
+
+
+def _rows(spark, name, sf_dir, shuffle_parts):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partitioning_does_not_change_results(spark, sf_dir, name):
+    a = _rows(spark, name, sf_dir, 3)
+    b = _rows(spark, name, sf_dir, 32)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
