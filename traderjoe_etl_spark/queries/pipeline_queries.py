@@ -33,73 +33,67 @@ def _synth_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Snapshot
     events = read_table(spark, sf_dir, "events")
     nation = read_table(spark, sf_dir, "nation").limit(N_POOLS)
 
-    pool_of = (F.col("user_id") % N_POOLS).cast("int")
-    user_addr = F.concat(F.lit("0xuser"), F.col("user_id").cast("string"))
-    pool_addr = F.concat(F.lit("0xpool"), pool_of.cast("string"))
+    # one selectExpr call per relation (vs hundreds of composed-Column py4j
+    # round trips — see BENCH.md plan-build notes); semantics unchanged,
+    # guarded by the golden-output comparison in tests and the driver sim
+    user_addr = "concat('0xuser', CAST(user_id AS STRING))"
+    pool_addr = f"concat('0xpool', CAST(CAST(user_id % {N_POOLS} AS INT) AS STRING))"
 
-    pools_rows = nation.select(
-        F.concat(F.lit("0xpool"), F.col("n_nationkey").cast("string")).alias("pairAddress"),
-        F.col("n_name").alias("name"),
-        (F.col("n_nationkey") * 100.0 + 500).alias("volumeUsd"),
-        (F.col("n_nationkey") * 1000.0 + 1000).alias("liquidityUsd"),
-        (F.col("n_nationkey") * 1.5 + 1).alias("feesUsd"),
-        F.struct(
-            F.lit("0xtx").alias("address"), F.lit("TX").alias("symbol"),
-            F.lit(6).alias("decimals"), F.lit(2.0).alias("priceUsd"),
-        ).alias("tokenX"),
-        F.struct(
-            F.lit("0xty").alias("address"), F.lit("TY").alias("symbol"),
-            F.lit(18).alias("decimals"), F.lit(0.5).alias("priceUsd"),
-        ).alias("tokenY"),
-        F.lit(100.0).alias("reserveX"), F.lit(200.0).alias("reserveY"),
-        F.lit(25).alias("lbBinStep"), F.lit(0.1).alias("lbBaseFeePct"),
-        F.lit(1.0).alias("lbMaxFeePct"), F.lit(5.0).alias("protocolSharePct"),
-        F.lit(8388608).alias("activeBinId"),
-        F.lit(10.0).alias("liquidityDepthMinus"), F.lit(12.0).alias("liquidityDepthPlus"),
-        F.lit(5.0).alias("liquidityDepthTokenX"), F.lit(6.0).alias("liquidityDepthTokenY"),
+    pools_rows = nation.selectExpr(
+        "concat('0xpool', CAST(n_nationkey AS STRING)) AS pairAddress",
+        "n_name AS name",
+        "n_nationkey * 100.0D + 500 AS volumeUsd",
+        "n_nationkey * 1000.0D + 1000 AS liquidityUsd",
+        "n_nationkey * 1.5D + 1 AS feesUsd",
+        "named_struct('address', '0xtx', 'symbol', 'TX', 'decimals', 6, 'priceUsd', 2.0D) AS tokenX",
+        "named_struct('address', '0xty', 'symbol', 'TY', 'decimals', 18, 'priceUsd', 0.5D) AS tokenY",
+        "100.0D AS reserveX", "200.0D AS reserveY",
+        "25 AS lbBinStep", "0.1D AS lbBaseFeePct",
+        "1.0D AS lbMaxFeePct", "5.0D AS protocolSharePct",
+        "8388608 AS activeBinId",
+        "10.0D AS liquidityDepthMinus", "12.0D AS liquidityDepthPlus",
+        "5.0D AS liquidityDepthTokenX", "6.0D AS liquidityDepthTokenY",
     )
     # cast every column to the declared schema type relationally — no
     # driver-side collect round trip
-    pools_1d = pools_rows.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in POOL_STATS_SCHEMA.fields]
+    pools_1d = pools_rows.selectExpr(
+        *[
+            f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in POOL_STATS_SCHEMA.fields
+        ]
     )
     pools_1h = pools_1d
 
-    history = events.filter(F.col("event_type") == "purchase").select(
-        user_addr.alias("user_address"),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
-        F.lit(True).alias("isDeposit"),
-        pool_addr.alias("poolAddress"),
-        F.lit("P").alias("pairName"),
-        (F.col("event_id") % 100).cast("int").alias("binId"),
-        F.struct(
-            F.col("value").cast("string").alias("amount"), F.lit("2.0").alias("price")
-        ).alias("tokenX"),
-        F.struct(
-            (F.col("value") / 2).cast("string").alias("amount"), F.lit("0.5").alias("price")
-        ).alias("tokenY"),
-        F.col("event_id").alias("blockNumber"),
+    history = events.filter(F.col("event_type") == "purchase").selectExpr(
+        f"{user_addr} AS user_address",
+        "date_format(ts, 'yyyy-MM-dd\\'T\\'HH:mm:ss') AS `timestamp`",
+        "true AS isDeposit",
+        f"{pool_addr} AS poolAddress",
+        "'P' AS pairName",
+        "CAST(event_id % 100 AS INT) AS binId",
+        "named_struct('amount', CAST(value AS STRING), 'price', '2.0') AS tokenX",
+        "named_struct('amount', CAST(value / 2 AS STRING), 'price', '0.5') AS tokenY",
+        "event_id AS blockNumber",
     )
-    fees = events.filter(F.col("event_type") == "click").select(
-        user_addr.alias("user_address"),
-        pool_addr.alias("poolAddress"),
-        (F.col("event_id") % 100).cast("int").alias("binId"),
-        (F.col("value") / 100).cast("string").alias("accruedFeesX"),
-        (F.col("value") / 200).cast("string").alias("accruedFeesY"),
+    fees = events.filter(F.col("event_type") == "click").selectExpr(
+        f"{user_addr} AS user_address",
+        f"{pool_addr} AS poolAddress",
+        "CAST(event_id % 100 AS INT) AS binId",
+        "CAST(value / 100 AS STRING) AS accruedFeesX",
+        "CAST(value / 200 AS STRING) AS accruedFeesY",
     )
-    bins = events.filter(F.col("event_type") == "view").select(
-        user_addr.alias("user_address"),
-        pool_addr.alias("poolAddress"),
-        (F.col("event_id") % 100).cast("int").alias("binId"),
-        (F.col("value").cast("long") * 1000000).cast("decimal(38,0)").alias("reserveX"),
-        (F.col("value").cast("long")).cast("decimal(38,0)").alias("reserveY"),
-        (F.col("event_id") % 7 + 1).cast("decimal(38,0)").alias("shares"),
-        F.lit(10).cast("decimal(38,0)").alias("totalShares"),
+    bins = events.filter(F.col("event_type") == "view").selectExpr(
+        f"{user_addr} AS user_address",
+        f"{pool_addr} AS poolAddress",
+        "CAST(event_id % 100 AS INT) AS binId",
+        "CAST(CAST(value AS LONG) * 1000000 AS DECIMAL(38,0)) AS reserveX",
+        "CAST(CAST(value AS LONG) AS DECIMAL(38,0)) AS reserveY",
+        "CAST(event_id % 7 + 1 AS DECIMAL(38,0)) AS shares",
+        "CAST(10 AS DECIMAL(38,0)) AS totalShares",
     )
-    pairs = (
-        events.select(user_addr.alias("user_address"), pool_addr.alias("pool_address"))
-        .distinct()
-    )
+    pairs = events.selectExpr(
+        f"{user_addr} AS user_address", f"{pool_addr} AS pool_address"
+    ).distinct()
     for df, schema in ((history, USER_HISTORY_SCHEMA), (fees, FEES_EARNED_SCHEMA), (bins, BINS_RESERVE_SCHEMA)):
         assert [f.name for f in df.schema.fields] == [f.name for f in schema.fields]
     return pairs, SnapshotInputs(pools_1d, pools_1h, history, fees, bins)
