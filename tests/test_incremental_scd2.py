@@ -108,3 +108,25 @@ def test_multi_ts_batch_folds_in_order(spark):
     got = sorted(read_scd2_table(spark, table).collect(), key=_key)
     want = sorted(_batch_fold(spark).collect(), key=_key)
     assert [_key(r) for r in got] == [_key(r) for r in want]
+
+
+def test_empty_first_batch_stays_uninitialized(spark):
+    # An empty first micro-batch must NOT commit a version pointer — a
+    # {version: -1} commit would point readers at a directory that was
+    # never written (ADVICE r01).
+    table = tempfile.mkdtemp(prefix="inc_empty_")
+    sink = incremental_scd2_sink(table, keys=["pair"], compare_cols=["apr"], ts_col="ts")
+    sink(_snap(spark, []), 0)
+    assert current_version(table) is None
+    try:
+        read_scd2_table(spark, table)
+        raise AssertionError("expected FileNotFoundError for uninitialized table")
+    except FileNotFoundError:
+        pass
+    # a later non-empty batch initializes normally
+    sink(_snap(spark, BATCHES[0]), 1)
+    assert current_version(table)["version"] == 0
+    assert read_scd2_table(spark, table).count() == 2
+    # and a subsequent empty batch advances the epoch but keeps the version
+    sink(_snap(spark, []), 2)
+    assert current_version(table) == {"version": 0, "epoch_id": 2}

@@ -61,3 +61,22 @@ def test_scd2_idempotent_on_identical_batch(spark):
     cur = scd2_merge(cur, again, keys=["pair"], compare_cols=["apr"], ts_col="ts")
     rows = cur.collect()
     assert len(rows) == 1 and rows[0].is_current  # identical value → no new version
+
+
+def test_scd2_change_detection_is_sentinel_proof(spark):
+    # Values equal to the old concat_ws NULL sentinel ('∅') or containing
+    # the field separator must compare by VALUE, not by serialized string
+    # (ADVICE r01: eqNullSafe, not string fingerprints).
+    from datetime import datetime
+
+    schema = "pair string, label string, ts timestamp"
+    t0, t1 = datetime(2026, 1, 1, 0), datetime(2026, 1, 1, 1)
+    cur = scd2_init(
+        spark.createDataFrame([("A", None, t0), ("B", "x\x1fy", t0)], schema), "ts"
+    )
+    # A: NULL -> '∅' is a REAL change; B: 'x\x1fy' unchanged -> no new version
+    upd = spark.createDataFrame([("A", "∅", t1), ("B", "x\x1fy", t1)], schema)
+    merged = scd2_merge(cur, upd, keys=["pair"], compare_cols=["label"], ts_col="ts")
+    rows = {(r.pair, r.is_current): r for r in merged.collect()}
+    assert ("A", False) in rows and rows[("A", True)].label == "∅"
+    assert ("B", False) not in rows and rows[("B", True)].ts == t0

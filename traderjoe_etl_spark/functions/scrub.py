@@ -38,14 +38,16 @@ def scrub_nonfinite(col: Column | str) -> Column:
 
 
 def safe_div(num: Column | str, den: Column | str) -> Column:
-    """``num / nullif(den, 0)`` — division that yields NULL instead of
-    Infinity/NaN on a zero denominator.
+    """``scrub(num / nullif(den, 0))`` — division that yields NULL instead
+    of Infinity/NaN for ANY non-finite outcome.
 
     This is the canonical engine form of the reference's divide-then-scrub
     pattern (main.py:267-269, 279-286); both Spark and the DuckDB oracle get
     the same ``nullif`` so the semantics pin down identically (SURVEY.md
-    §7.4.5).
-    """
+    §7.4.5). The quotient is additionally scrubbed because a NaN operand
+    (reachable via ``try_cast('NaN')``) propagates through the division even
+    with a non-zero denominator — the module contract is that every
+    non-finite value normalizes to NULL."""
     n = F.col(num) if isinstance(num, str) else num
     d = F.col(den) if isinstance(den, str) else den
-    return n / F.nullif(d, F.lit(0))
+    return scrub_nonfinite(n / F.nullif(d, F.lit(0)))

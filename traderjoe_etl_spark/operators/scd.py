@@ -12,6 +12,7 @@ it to a new partition/path and swap, never read-modify-write in place.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,10 +57,15 @@ def scd2_merge(
     )
     j = open_rows.join(F.broadcast(upd), list(keys), "full_outer")
 
-    changed_pred = F.col("__u_ts").isNotNull() & (
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in compare_cols])
-        != F.concat_ws("\x1f", *[F.coalesce(F.col(f"__u_{c}").cast("string"), F.lit("∅")) for c in compare_cols])
+    # Null-safe per-column comparison: eqNullSafe treats NULL==NULL as true
+    # and NULL==value as false, with no serialized-string fingerprint — a
+    # concat_ws sentinel scheme is ambiguous when data contains the sentinel
+    # or separator (ADVICE r01).
+    same_vals = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in compare_cols],
     )
+    changed_pred = F.col("__u_ts").isNotNull() & ~same_vals
 
     base_cols = [c for c in current.columns]
     # 1. untouched open rows (no update arrived, or update identical)

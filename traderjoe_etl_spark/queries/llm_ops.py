@@ -231,6 +231,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_distance, simhash_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
+    # Scoped persist (minhash_lsh_candidates pattern): the self-join reads
+    # the fingerprints twice; localCheckpoint(eager) truncates the result's
+    # lineage so the cache can be released before returning.
     fp = simhash_fingerprint(docs, "doc_id", "text").persist()
     bands = fp.select(
         "doc_id",
@@ -253,14 +256,17 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bands.select(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key"
     )
-    pairs = (
-        a.join(c, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming_distance("fp_a", "fp_b").alias("hamming"))
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-    )
-    return pairs
+    try:
+        pairs = (
+            a.join(c, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming_distance("fp_a", "fp_b").alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+            .distinct()
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()
 
 
 @query("minhash_near_dup")  # rows-only: banding/hash choices are engine-specific

@@ -84,7 +84,12 @@ def incremental_scd2_sink(
         # drained), so a driver-side collect is fine at any data scale
         ts_vals = [r[0] for r in batch_df.select(ts_col).distinct().orderBy(ts_col).collect()]
         if not ts_vals:
-            _commit(table_path, ptr["version"] if ptr else -1, epoch_id)
+            # An empty batch advances the epoch watermark only if a version
+            # already exists; committing {version: -1} on an empty FIRST
+            # batch would point readers at a v=-1 directory that was never
+            # written (ADVICE r01) — stay uninitialized instead.
+            if ptr is not None:
+                _commit(table_path, ptr["version"], epoch_id)
             return
         if ptr is None:
             cur = scd2_init(batch_df.filter(F.col(ts_col) == ts_vals[0]), ts_col)
