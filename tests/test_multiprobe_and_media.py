@@ -47,4 +47,9 @@ def test_media_repartition_deterministic_balances_bytes(spark):
     # every partition stays under max_blob + total/n
     total = 4 * 500_000 + 96 * 1_000
     n = len(sizes)
+    assert n == 3  # exact bucket→partition map: no merged/empty partitions
     assert sizes[-1] <= 500_000 + total // n + 1_000, sizes
+    # two-level LPT: the ranking window is salted, never a global sort
+    # (a SinglePartition exchange would be the 100-TB scale-killer)
+    plan = rp._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -118,11 +118,23 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bucketed_colocated_join")  # rows-only: result equals plain join; the point is the plan
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                        AS n_orders,
+           round(avg(o_totalprice), 4)     AS avg_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via same-key bucketed tables (the
     repeated-join answer at 100 TB: pay the shuffle once at write time).
-    tests/test_bucketing.py asserts the plan has no shuffle Exchange."""
+    tests/test_bucketing.py asserts the plan has no shuffle Exchange; the
+    oracle is the equivalent PLAIN join — bucketing must not change
+    results, so the hash match is the 'bucketed ≡ unbucketed' proof
+    (VERDICT r01 next-step #2)."""
     from ..operators.bucketing import bucketed_join, save_bucketed
 
     orders = _t(spark, sf_dir, "orders")
@@ -136,11 +148,39 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scd2_snapshot_versions")  # rows-only: two-phase merge, no single SQL twin
+@query(
+    "scd2_snapshot_versions",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS pair_key,
+               round(sum(o_totalprice), 2) AS position_value
+        FROM orders GROUP BY o_custkey
+    )
+    -- batch-0 rows: even keys get closed at 01:00, odd keys stay current
+    SELECT pair_key, position_value,
+           '2026-01-01 00:00:00' AS valid_from,
+           CASE WHEN pair_key % 2 = 0 THEN '2026-01-01 01:00:00' END AS valid_to,
+           (pair_key % 2 = 1) AS is_current
+    FROM base
+    UNION ALL
+    -- new open versions of the changed (even) keys
+    SELECT pair_key, position_value + 1.0,
+           '2026-01-01 01:00:00', NULL, true
+    FROM base WHERE pair_key % 2 = 0
+    UNION ALL
+    -- the brand-new key inserted by batch 1
+    SELECT 999999, 123.45, '2026-01-01 01:00:00', NULL, true
+    """,
+)
 def scd2_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 versioning of the snapshot table (K1 generalized to a
     warehouse dimension): derive batch-0/batch-1 pool states from orders,
-    merge, return the full version history with validity ranges."""
+    merge, return the full version history with validity ranges.
+
+    The oracle is the lag/lead-free closed form of the expected history
+    (each key's fate is determined by parity), so the hash match checks the
+    merge semantics end to end — closed rows carry valid_to = new ts, new
+    versions open at 01:00, untouched keys keep their original row."""
     from ..operators.scd import scd2_init, scd2_merge
 
     orders = _t(spark, sf_dir, "orders")
@@ -149,9 +189,11 @@ def scd2_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("ts"),
     )
     batch0 = base.withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
-    # batch 1: half the keys change value, a synthetic new key appears
+    # batch 1: half the keys change value, a synthetic new key appears.
+    # +1.0 (exact double add on the 2dp grid), NOT round(x*1.1, 2) — a
+    # re-round on a coarse grid lands on .005 ties where engines disagree.
     changed = base.filter(F.col("pair_key") % 2 == 0).withColumn(
-        "position_value", F.round(F.col("position_value") * 1.1, 2)
+        "position_value", F.col("position_value") + F.lit(1.0)
     )
     newkey = spark.createDataFrame(
         [(999999, 123.45)], "pair_key long, position_value double"

@@ -99,13 +99,166 @@ def _synth_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Snapshot
     return pairs, SnapshotInputs(pools_1d, pools_1h, history, fees, bins)
 
 
-@query("snapshot_pipeline")  # rows-only: 46-col wide row, no single SQL twin
+_ADDR_U = "'0xuser' || CAST(user_id AS VARCHAR)"
+_ADDR_P = f"'0xpool' || CAST(CAST(user_id % {N_POOLS} AS INTEGER) AS VARCHAR)"
+
+# The packed-bin strings render doubles with Python repr (strict_repr mode);
+# DuckDB's DOUBLE::VARCHAR is the same shortest-round-trip format
+# byte-for-byte (verified across plain/scientific/boundary values), so the
+# oracle can reproduce them with plain casts.
+_FEES_ITEM = "CAST(binId AS VARCHAR) || ': ' || CAST(fx AS VARCHAR) || ', ' || CAST(fy AS VARCHAR)"
+_BINS_ITEM = "CAST(binId AS VARCHAR) || ': ' || CAST(ux AS VARCHAR) || ', ' || CAST(uy AS VARCHAR)"
+
+_SNAPSHOT_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT {_ADDR_U} AS user_address, {_ADDR_P} AS pool_address
+    FROM events
+),
+pools AS (
+    SELECT '0xpool' || CAST(n_nationkey AS VARCHAR) AS pool_address,
+           n_name                       AS pool_name,
+           n_nationkey * 100.0 + 500    AS volume_1h,
+           n_nationkey * 1000.0 + 1000  AS liquidity,
+           n_nationkey * 1.5 + 1        AS fees_1d,
+           n_nationkey * 1.5 + 1        AS fees_1h
+    FROM nation
+    WHERE n_nationkey IN (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT {N_POOLS})
+),
+hist AS (
+    SELECT {_ADDR_U} AS user_address, {_ADDR_P} AS pool_address,
+           date_trunc('second', ts) AS ts_s,
+           event_id                 AS block_number,
+           value                    AS amt_x,
+           value / 2                AS amt_y
+    FROM events WHERE event_type = 'purchase'
+),
+latest AS (
+    SELECT * FROM (
+        SELECT h.*, rank() OVER (PARTITION BY user_address, pool_address
+                                 ORDER BY block_number DESC, ts_s DESC) AS rk
+        FROM hist h
+    ) WHERE rk = 1
+),
+hist_sum AS (
+    SELECT user_address, pool_address,
+           sum(amt_x) AS dep_x, sum(amt_y) AS dep_y,
+           strftime(max(ts_s), '%Y-%m-%d %H:%M:%S') AS most_recent
+    FROM latest GROUP BY user_address, pool_address
+),
+fees AS (
+    SELECT {_ADDR_U} AS user_address, {_ADDR_P} AS pool_address,
+           CAST(event_id % 100 AS INTEGER) AS binId,
+           value / 100 AS fx, value / 200 AS fy
+    FROM events WHERE event_type = 'click'
+),
+fees_sum AS (
+    SELECT user_address, pool_address,
+           sum(fx) AS fees_x, sum(fy) AS fees_y,
+           '(' || string_agg({_FEES_ITEM}, '; ' ORDER BY binId, {_FEES_ITEM}) || ')' AS packed
+    FROM fees GROUP BY user_address, pool_address
+),
+bins AS (
+    SELECT {_ADDR_U} AS user_address, {_ADDR_P} AS pool_address,
+           CAST(event_id % 100 AS INTEGER) AS binId,
+           CAST(CAST(trunc(value) AS BIGINT) * 1000000 AS DOUBLE) AS rx,
+           CAST(CAST(trunc(value) AS BIGINT) AS DOUBLE)           AS ry,
+           CAST(event_id % 7 + 1 AS DOUBLE)                       AS sh
+    FROM events WHERE event_type = 'view'
+),
+scaled AS (
+    SELECT user_address, pool_address, binId,
+           rx * (sh / 10.0)                 AS ux_raw,
+           ry * (sh / 10.0)                 AS uy_raw,
+           rx * (sh / 10.0) / pow(10.0, 6)  AS ux,
+           ry * (sh / 10.0) / pow(10.0, 18) AS uy
+    FROM bins
+),
+bins_sum AS (
+    SELECT user_address, pool_address,
+           sum(ux_raw) / pow(10.0, 6)  AS tok_x,
+           sum(uy_raw) / pow(10.0, 18) AS tok_y,
+           '(' || string_agg({_BINS_ITEM}, '; ' ORDER BY binId, {_BINS_ITEM}) || ')' AS packed
+    FROM scaled GROUP BY user_address, pool_address
+),
+joined AS (
+    SELECT pr.user_address, pr.pool_address,
+           p.pool_name, p.volume_1h, p.liquidity, p.fees_1d, p.fees_1h,
+           coalesce(h.dep_x, 0.0) AS dep_x,
+           coalesce(h.dep_y, 0.0) AS dep_y,
+           h.most_recent,
+           coalesce(f.fees_x, 0.0) AS fees_x,
+           coalesce(f.fees_y, 0.0) AS fees_y,
+           coalesce(f.packed, '()') AS fees_packed,
+           coalesce(b.tok_x, 0.0) AS tok_x,
+           coalesce(b.tok_y, 0.0) AS tok_y,
+           coalesce(b.packed, '()') AS bins_packed
+    FROM pairs pr
+    LEFT JOIN pools p    USING (pool_address)
+    LEFT JOIN hist_sum h USING (user_address, pool_address)
+    LEFT JOIN fees_sum f USING (user_address, pool_address)
+    LEFT JOIN bins_sum b USING (user_address, pool_address)
+)
+SELECT
+    1767225600                   AS "current_unix_timestamp",
+    '2026-01-01 00:00:00'        AS "timestamp(datetime_pst)",
+    pool_name                    AS "pool_name",
+    pool_address                 AS "pool_address",
+    volume_1h                    AS "pool[volume](1h)",
+    liquidity                    AS "pool[liquidity]",
+    fees_1h                      AS "pool[total_fees(USD)](1h)",
+    25                           AS "lbBinStep",
+    0.1                          AS "base_fee%",
+    1.0                          AS "max_fee%",
+    5.0                          AS "protocol_fee%",
+    'TX'                         AS "token_x_symbol",
+    'TY'                         AS "token_y_symbol",
+    '0xtx'                       AS "token_x_address",
+    '0xty'                       AS "token_y_address",
+    100.0                        AS "pool[token_x_amount]",
+    200.0                        AS "pool[token_y_amount]",
+    2.0                          AS "token_x_price",
+    0.5                          AS "token_y_price",
+    8388608                      AS "activeBinId",
+    5.0                          AS "liquidityDepth+2%TokenX",
+    6.0                          AS "liquidityDepth-2%TokenY",
+    12.0                         AS "liquidityDepth+2%(USD)",
+    10.0                         AS "liquidityDepth-2%(USD)",
+    user_address                 AS "user_address",
+    dep_x                        AS "total_tokenX_amount_initial_deposit",
+    dep_y                        AS "total_tokenY_amount_initial_deposit",
+    most_recent                  AS "MostRecentDepositTime",
+    tok_x                        AS "token_x_amount",
+    tok_y                        AS "token_y_amount",
+    2.0 * tok_x                  AS "token_x(USD)",
+    0.5 * tok_y                  AS "token_y(USD)",
+    bins_packed                  AS "bin_distribution(bin id: token_x_amount, token_y_amounts)",
+    2.0 * tok_x + 0.5 * tok_y    AS "total_token_value(USD)",
+    fees_x                       AS "accrued_fees_token_x",
+    fees_y                       AS "accrued_fees_token_y",
+    fees_x * 2.0                 AS "accrued_fees_token_x(USD)",
+    fees_y * 0.5                 AS "accrued_fees_token_y(USD)",
+    fees_packed                  AS "fees_per_bin(bin_id: token_x, token_y_amounts)",
+    dep_x * 2.0 + dep_y * 0.5    AS "value_if_held(USD)",
+    (dep_x * 2.0 + dep_y * 0.5) - (2.0 * tok_x + 0.5 * tok_y) AS "impermanent_loss(USD)",
+    (2.0 * tok_x + 0.5 * tok_y) / liquidity * 100 AS "user_%_of_pool_liquidity",
+    fees_1d * 365                AS "fees_annual",
+    (fees_1d * 365) / liquidity * 100 AS "APR%",
+    (pow(1 + fees_1d / liquidity, 365) - 1) * 100 AS "APY%",
+    fees_1d / liquidity * 100    AS "APR_1d%"
+FROM joined
+"""
+
+
+@query("snapshot_pipeline", oracle=_SNAPSHOT_SQL)
 def snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference pipeline (S2→K1 as one DAG) over all synthetic
     (user, pool) pairs at once — the reference's per-pair loop
     (main.py:11-17) as data parallelism. Correctness of each stage is
-    pinned by tests/test_pipeline_parity.py fixtures; this query proves the
-    assembled plan runs at scale factor."""
+    pinned by tests/test_pipeline_parity.py fixtures; the SQL twin above
+    replays the whole DAG (synth sources included) in DuckDB, so the
+    driver's hash check covers all 46 columns — packed-bin strings
+    included, because strict_repr renders floats with Python repr, which is
+    byte-identical to DuckDB's DOUBLE::VARCHAR shortest-round-trip form."""
     apply_runtime_confs(spark)
     pairs, inputs = _synth_inputs(spark, sf_dir)
-    return build_snapshot(pairs, inputs, RUN_TS)
+    return build_snapshot(pairs, inputs, RUN_TS, strict_repr=True)
