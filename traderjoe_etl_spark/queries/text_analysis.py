@@ -124,11 +124,42 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprint(docs, "doc_id", "text")
 
 
-@query("ngram_jaccard_near_dups")  # rows-only: pair set depends on LSH banding
+@query(
+    "ngram_jaccard_near_dups",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')]
+               END AS s
+        FROM toks
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+)
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash-LSH candidates verified with exact n-gram Jaccard ≥ 0.8 —
     the full near-dup detection pipeline (candidate generation + exact
-    verification)."""
+    verification).
+
+    The oracle is the BRUTE-FORCE all-pairs exact Jaccard — so the hash
+    match simultaneously proves (a) the exact verifier computes the same
+    similarity as an independent set implementation and (b) LSH candidate
+    recall at j ≥ 0.8 is 1.0 on this corpus (P(miss) per pair ≈ 2e-4 with
+    16 bands × r=4 and deterministic xxhash64 seeds, checked at sf0.01 and
+    sf0.1). The engine never materializes the O(n²) product; only the
+    oracle does, which is exactly the asymmetry the LSH path exists for."""
     from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
