@@ -100,3 +100,152 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """events table → file-backed streaming source (availableNow drains it
+    deterministically; the same builders run against live sources)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+
+
+def _drain(agg: DataFrame, name: str, mode: str = "complete") -> None:
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+@query(
+    "stream_sliding_rollup",
+    oracle="""
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S')                    AS window_start,
+           strftime(ws + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM starts
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window / 30min slide) as a streaming
+    query drained batch-style. Every event lands in exactly two windows;
+    the oracle replays that expansion with time_bucket (epoch-aligned, the
+    same phase as Spark's window())."""
+    from ..streaming.jobs import windowed_event_agg
+
+    apply_runtime_confs(spark)
+    src = _events_stream(spark, sf_dir, "stream_slide_")
+    agg = windowed_event_agg(src, window="1 hour", slide="30 minutes", watermark="0 seconds")
+    _drain(agg, "__stream_sliding_rollup")
+    return spark.table("__stream_sliding_rollup").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30min gap) per user as a streaming
+    query. The oracle is the classic batch island detection (gap-marked
+    lag + running sum); Spark's session_window ends at last_event + gap
+    and starts a NEW session when the inter-event gap reaches the gap
+    duration — both mirrored exactly."""
+    from ..streaming.jobs import session_window_agg
+
+    apply_runtime_confs(spark)
+    src = _events_stream(spark, sf_dir, "stream_sess_")
+    agg = session_window_agg(src, gap="30 minutes", watermark="0 seconds")
+    _drain(agg, "__stream_session_windows")
+    return spark.table("__stream_session_windows").select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        F.col("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.event_id AS purchase_id,
+           r.event_id AS click_id,
+           l.user_id  AS user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL '1 hour'
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition
+    (clicks within 1h after a purchase, per user). Both sides are live
+    streams with watermarks bounding join state; the oracle is the plain
+    batch interval join over the same events."""
+    from ..streaming.jobs import stream_stream_interval_join
+
+    apply_runtime_confs(spark)
+    purchases = _events_stream(spark, sf_dir, "stream_ij_l_").filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = _events_stream(spark, sf_dir, "stream_ij_r_").filter(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_interval_join(purchases, clicks, within="1 hour")
+    _drain(joined, "__stream_interval_join", mode="append")
+    return spark.table("__stream_interval_join").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
