@@ -268,3 +268,113 @@ def test_missing_api_columns_tolerated(spark):
     assert "liquidityDepth+2%(USD)" not in out.columns
     assert "pool_name" in out.columns
     assert out.count() == 1
+
+
+def test_strict_mode_golden_csv(spark, tmp_path):
+    """Full strict-parity byte-golden: pool_name joins + Python-repr packed
+    strings, exported through the pandas CSV sink (the reference's own
+    to_csv path, main.py:345-351), compared byte-for-byte against a row
+    hand-computed from the reference's arithmetic (main.py:130-286)."""
+    import pandas as pd
+
+    from traderjoe_etl_spark.sinks import csv_export
+
+    inputs = SnapshotInputs(
+        pools_1d=spark.createDataFrame([_pool_row()], POOL_STATS_SCHEMA),
+        pools_1h=spark.createDataFrame(
+            [{**_pool_row(), "volumeUsd": 42.0, "feesUsd": 1.5}], POOL_STATS_SCHEMA
+        ),
+        history=spark.createDataFrame(_history_rows(), USER_HISTORY_SCHEMA),
+        fees=spark.createDataFrame(_fees_rows(), FEES_EARNED_SCHEMA),
+        bins=spark.createDataFrame(_bins_rows(), BINS_RESERVE_SCHEMA),
+    )
+    pairs = spark.createDataFrame([(USER, POOL)], "user_address string, pool_address string")
+    df = build_snapshot(pairs, inputs, RUN_TS, strict_repr=True, join_on_pool_name=True)
+    out = str(tmp_path / "merged_data.csv")
+    csv_export(df, out)
+
+    # hand-computed expectations (reference formulas, pure Python floats)
+    liq, fees_1d = 1000.0, 10.0
+    dep_x, dep_y = 2.5 + 4.0, 3.0 + 0.0          # argmax block 200, ts tie summed
+    tok_x, tok_y = 4.0 + 1.0, 1.0 + 0.0          # pro-rata, decimal-scaled
+    fx, fy = 1.5 + 0.5, 0.75 + 0.25
+    vih = dep_x * 2.0 + dep_y * 0.5
+    total = 2.0 * tok_x + 0.5 * tok_y
+    expected = {
+        "current_unix_timestamp": int(RUN_TS.timestamp()),
+        "timestamp(datetime_pst)": "2026-01-01 12:00:00",
+        "pool_name": "TOKX-TOKY",
+        "pool_address": POOL,
+        "pool[volume](1h)": 42.0,
+        "pool[liquidity]": liq,
+        "pool[total_fees(USD)](1h)": 1.5,
+        "lbBinStep": 25,
+        "base_fee%": 0.1,
+        "max_fee%": 1.0,
+        "protocol_fee%": 5.0,
+        "token_x_symbol": "TOKX",
+        "token_y_symbol": "TOKY",
+        "token_x_address": "0xtx",
+        "token_y_address": "0xty",
+        "pool[token_x_amount]": 1111.0,
+        "pool[token_y_amount]": 2222.0,
+        "token_x_price": 2.0,
+        "token_y_price": 0.5,
+        "activeBinId": 8388608,
+        "liquidityDepth+2%TokenX": 50.0,
+        "liquidityDepth-2%TokenY": 60.0,
+        "liquidityDepth+2%(USD)": 120.0,
+        "liquidityDepth-2%(USD)": 100.0,
+        "user_address": USER,
+        "total_tokenX_amount_initial_deposit": dep_x,
+        "total_tokenY_amount_initial_deposit": dep_y,
+        "MostRecentDepositTime": "2025-12-02 00:10:00",
+        "token_x_amount": tok_x,
+        "token_y_amount": tok_y,
+        "token_x(USD)": 2.0 * tok_x,
+        "token_y(USD)": 0.5 * tok_y,
+        "bin_distribution(bin id: token_x_amount, token_y_amounts)": "(10: 4.0, 1.0; 11: 1.0, 0.0)",
+        "total_token_value(USD)": total,
+        "accrued_fees_token_x": fx,
+        "accrued_fees_token_y": fy,
+        "accrued_fees_token_x(USD)": fx * 2.0,
+        "accrued_fees_token_y(USD)": fy * 0.5,
+        "fees_per_bin(bin_id: token_x, token_y_amounts)": "(3: 1.5, 0.75; 9: 0.5, 0.25)",
+        "value_if_held(USD)": vih,
+        "impermanent_loss(USD)": vih - total,
+        "user_%_of_pool_liquidity": total / liq * 100,
+        "fees_annual": fees_1d * 365,
+        "APR%": fees_1d * 365 / liq * 100,
+        "APY%": ((1 + fees_1d / liq) ** 365 - 1) * 100,
+        "APR_1d%": fees_1d / liq * 100,
+    }
+    want = pd.DataFrame([expected])[SNAPSHOT_ORDER].to_csv(index=False)
+    with open(out, encoding="utf-8") as f:
+        assert f.read() == want
+
+
+def test_pool_name_join_collision_gate(spark):
+    """Two pools sharing a display name: default (address) joins keep the
+    pairs independent; strict pool_name mode reproduces the reference's
+    cross-multiplication hazard — the reason the deviation exists."""
+    pool_b = _pool_row(pair="0xpoolB", name="TOKX-TOKY")  # same name as POOL
+    inputs = SnapshotInputs(
+        pools_1d=spark.createDataFrame([_pool_row(), pool_b], POOL_STATS_SCHEMA),
+        pools_1h=spark.createDataFrame([_pool_row(), pool_b], POOL_STATS_SCHEMA),
+        history=spark.createDataFrame(_history_rows(), USER_HISTORY_SCHEMA),
+        fees=spark.createDataFrame(_fees_rows(), FEES_EARNED_SCHEMA),
+        bins=spark.createDataFrame([], BINS_RESERVE_SCHEMA),
+    )
+    pairs = spark.createDataFrame(
+        [(USER, POOL), (USER, "0xpoolB")], "user_address string, pool_address string"
+    )
+    by_addr = build_snapshot(pairs, inputs, RUN_TS)
+    assert by_addr.count() == 2
+    # poolB has no history of its own → zero deposits under address joins
+    b_row = [r for r in by_addr.collect() if r["pool_address"] == "0xpoolB"][0]
+    assert b_row["total_tokenX_amount_initial_deposit"] == 0.0
+    by_name = build_snapshot(pairs, inputs, RUN_TS, join_on_pool_name=True)
+    b_name = [r.asDict() for r in by_name.collect() if r["pool_address"] == "0xpoolB"][0]
+    # name collision: poolA's history bleeds into poolB — the reference's
+    # merge-on-name behavior, faithfully gated
+    assert b_name["total_tokenX_amount_initial_deposit"] == 6.5

@@ -247,6 +247,7 @@ def build_snapshot(
     inputs: SnapshotInputs,
     run_ts: datetime,
     strict_repr: bool = False,
+    join_on_pool_name: bool = False,
 ) -> DataFrame:
     """Assemble the 46-column snapshot for every (user, pool) pair at once.
 
@@ -255,7 +256,14 @@ def build_snapshot(
     clock (replaces main.py:171, 271 — §2C.6). ``strict_repr``: render the
     packed-string floats with Python ``repr`` for byte-parity with the
     reference's f-strings (default: JVM rendering, documented deviation).
-    """
+    ``join_on_pool_name``: strict-parity J1/J2 — the reference merges
+    history and fees onto pools by the human-readable ``pool_name``
+    (main.py:182-183), the name having been stamped onto each summary from
+    ``df_pools`` itself (main.py:138, 176). Faithfully reproduced here:
+    summaries pick up their name through the pool dim, then join on
+    ``(user_address, pool_name)`` — INCLUDING the hazard that two pools
+    sharing a display name cross-multiply rows, which is exactly why the
+    default joins on ``pool_address`` (SURVEY §2C.5 deviation, gated)."""
     pools = _pool_dim(inputs)
     history = _history_summary(inputs)
     fees = _fees_summary(inputs, strict_repr)
@@ -263,12 +271,31 @@ def build_snapshot(
     contract = _contract_summary(inputs, decimals, strict_repr)
 
     # J1/J2/P13 as keyed left joins; pool dim is broadcast (tiny at any SF).
-    df = (
-        pairs.join(F.broadcast(pools), "pool_address", "left")
-        .join(history, PAIR_KEYS, "left")
-        .join(fees, PAIR_KEYS, "left")
-        .join(contract, PAIR_KEYS, "left")
-    )
+    if join_on_pool_name:
+        name_map = F.broadcast(pools.select("pool_address", "pool_name"))
+        df = (
+            pairs.join(F.broadcast(pools), "pool_address", "left")
+            .join(
+                history.join(name_map, "pool_address").drop("pool_address"),
+                ["user_address", "pool_name"],
+                "left",
+            )
+            .join(
+                fees.join(name_map, "pool_address").drop("pool_address"),
+                ["user_address", "pool_name"],
+                "left",
+            )
+            # P13 (contract concat) is positional in the reference, not a
+            # name merge — stays keyed by address even in strict mode.
+            .join(contract, PAIR_KEYS, "left")
+        )
+    else:
+        df = (
+            pairs.join(F.broadcast(pools), "pool_address", "left")
+            .join(history, PAIR_KEYS, "left")
+            .join(fees, PAIR_KEYS, "left")
+            .join(contract, PAIR_KEYS, "left")
+        )
 
     # Every withColumn re-analyzes the (growing) plan — a chain of ~20 was
     # >1 s of pure driver time on this DAG. Batched withColumns calls keep

@@ -224,29 +224,53 @@ SELECT
     12.0                         AS "liquidityDepth+2%(USD)",
     10.0                         AS "liquidityDepth-2%(USD)",
     user_address                 AS "user_address",
-    dep_x                        AS "total_tokenX_amount_initial_deposit",
-    dep_y                        AS "total_tokenY_amount_initial_deposit",
+    round(dep_x, 6)              AS "total_tokenX_amount_initial_deposit",
+    round(dep_y, 6)              AS "total_tokenY_amount_initial_deposit",
     most_recent                  AS "MostRecentDepositTime",
-    tok_x                        AS "token_x_amount",
-    tok_y                        AS "token_y_amount",
-    2.0 * tok_x                  AS "token_x(USD)",
-    0.5 * tok_y                  AS "token_y(USD)",
+    round(tok_x, 6)              AS "token_x_amount",
+    round(tok_y, 6)              AS "token_y_amount",
+    round(2.0 * tok_x, 6)        AS "token_x(USD)",
+    round(0.5 * tok_y, 6)        AS "token_y(USD)",
     bins_packed                  AS "bin_distribution(bin id: token_x_amount, token_y_amounts)",
-    2.0 * tok_x + 0.5 * tok_y    AS "total_token_value(USD)",
-    fees_x                       AS "accrued_fees_token_x",
-    fees_y                       AS "accrued_fees_token_y",
-    fees_x * 2.0                 AS "accrued_fees_token_x(USD)",
-    fees_y * 0.5                 AS "accrued_fees_token_y(USD)",
+    round(2.0 * tok_x + 0.5 * tok_y, 6) AS "total_token_value(USD)",
+    round(fees_x, 6)             AS "accrued_fees_token_x",
+    round(fees_y, 6)             AS "accrued_fees_token_y",
+    round(fees_x * 2.0, 6)       AS "accrued_fees_token_x(USD)",
+    round(fees_y * 0.5, 6)       AS "accrued_fees_token_y(USD)",
     fees_packed                  AS "fees_per_bin(bin_id: token_x, token_y_amounts)",
-    dep_x * 2.0 + dep_y * 0.5    AS "value_if_held(USD)",
-    (dep_x * 2.0 + dep_y * 0.5) - (2.0 * tok_x + 0.5 * tok_y) AS "impermanent_loss(USD)",
-    (2.0 * tok_x + 0.5 * tok_y) / liquidity * 100 AS "user_%_of_pool_liquidity",
+    round(dep_x * 2.0 + dep_y * 0.5, 6) AS "value_if_held(USD)",
+    round((dep_x * 2.0 + dep_y * 0.5) - (2.0 * tok_x + 0.5 * tok_y), 6) AS "impermanent_loss(USD)",
+    round((2.0 * tok_x + 0.5 * tok_y) / liquidity * 100, 6) AS "user_%_of_pool_liquidity",
     fees_1d * 365                AS "fees_annual",
-    (fees_1d * 365) / liquidity * 100 AS "APR%",
-    (pow(1 + fees_1d / liquidity, 365) - 1) * 100 AS "APY%",
-    fees_1d / liquidity * 100    AS "APR_1d%"
+    round((fees_1d * 365) / liquidity * 100, 6) AS "APR%",
+    round((pow(1 + fees_1d / liquidity, 365) - 1) * 100, 6) AS "APY%",
+    round(fees_1d / liquidity * 100, 6) AS "APR_1d%"
 FROM joined
 """
+
+# Aggregate-derived double columns: rounded to 6dp on BOTH sides (the
+# repo-wide oracle-parity rule) — float sums reassociate across engines at
+# the last ulp; per-row packed-string floats are deterministic and stay
+# raw for byte parity.
+_ROUND_COLS = [
+    "total_tokenX_amount_initial_deposit",
+    "total_tokenY_amount_initial_deposit",
+    "token_x_amount",
+    "token_y_amount",
+    "token_x(USD)",
+    "token_y(USD)",
+    "total_token_value(USD)",
+    "accrued_fees_token_x",
+    "accrued_fees_token_y",
+    "accrued_fees_token_x(USD)",
+    "accrued_fees_token_y(USD)",
+    "value_if_held(USD)",
+    "impermanent_loss(USD)",
+    "user_%_of_pool_liquidity",
+    "APR%",
+    "APY%",
+    "APR_1d%",
+]
 
 
 @query("snapshot_pipeline", oracle=_SNAPSHOT_SQL)
@@ -261,4 +285,5 @@ def snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical to DuckDB's DOUBLE::VARCHAR shortest-round-trip form."""
     apply_runtime_confs(spark)
     pairs, inputs = _synth_inputs(spark, sf_dir)
-    return build_snapshot(pairs, inputs, RUN_TS, strict_repr=True)
+    snap = build_snapshot(pairs, inputs, RUN_TS, strict_repr=True)
+    return snap.withColumns({c: F.round(F.col(f"`{c}`"), 6) for c in _ROUND_COLS})
