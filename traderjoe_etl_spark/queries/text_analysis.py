@@ -167,12 +167,49 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
 
 
-@query("embedding_cosine_near_dups")  # rows-only: LSH bucketing engine-defined
+def _cosine_near_dup_oracle(threshold: float, n_planes: int) -> str:
+    """DuckDB twin of operators.similarity.cosine_near_dup_pairs: the plane
+    bank is seeded-deterministic (random.Random(42)), so the SAME literals
+    are inlined here and the bucket sign pattern + in-bucket exact cosine
+    filter replicate bit-for-bit (signs are O(0.1) away from zero, far
+    outside cross-engine float-reassociation error; the output cosine is
+    rounded to 6 dp on both sides)."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, n_planes, seed=42)
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bits = ",\n          ".join(
+        f"CASE WHEN list_dot_product(ve, {lit(p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    b AS (SELECT vec_id, ve, concat({bits}) AS bucket FROM v)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.ve, c.ve), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.ve, c.ve) >= {threshold}
+    """
+
+
+@query("embedding_cosine_near_dups", oracle=_cosine_near_dup_oracle(0.35, 4))
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join +
+    exact in-bucket cosine filter (SURVEY.md §2B ◆ dedup family). The
+    threshold is set where the synthetic corpus has signal (max pairwise
+    cosine ≈0.51 at sf0.01 — 0.95 would pass vacuously on 0 rows); the
+    oracle replicates the deterministic plane bank, so this checks the
+    FULL approximate pipeline, not just the exact filter."""
     from ..operators.similarity import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.95, dim=64, n_planes=6)
+    out = cosine_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @query("multimodal_features")  # rows-only: stubbed decoder is engine-defined

@@ -44,6 +44,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     if spark.sparkContext.master.startswith("local"):
         spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
         spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # Task dispatch is ~5 ms/task even in-process; the stock 200
+        # shuffle partitions burn ~1 s/stage in pure scheduling on a
+        # 32-core JVM (measured: json_props_stats 1.9 -> 0.7 s at sf10).
+        # Size reducers to the actual parallelism. On a cluster, keep the
+        # high default and let AQE coalesce instead.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     return spark
 
 
