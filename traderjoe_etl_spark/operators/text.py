@@ -68,31 +68,40 @@ def quality_score(text_col: str | Column) -> Column:
     return F.round(len_ok * tok_ok * F.coalesce(alpha_ratio, F.lit(0.0)), 6)
 
 
-def doc_fingerprint(text_col: str | Column, window: int = 8) -> Column:
+def doc_fingerprint(text_col: str | Column, window: int = 8, hash_fn: str = "xxhash64") -> Column:
     """Winnowing-style document fingerprint: hash every ``window``-token
-    shingle, keep the MINIMUM hash — a single stable 64-bit fingerprint
-    robust to local edits outside the minimizing window.
+    shingle, keep the MINIMUM hash — a single stable fingerprint robust to
+    local edits outside the minimizing window.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-side, 64-bit long)
+    or ``"md5"`` (portable hex-string fingerprint: every engine computes the
+    same RFC-1321 digest, so results are comparable across systems; the
+    min is the lexicographic min over lowercase hex, identical everywhere).
+    The min-over-shingle-hashes structure is hash-family-agnostic.
 
     (The full winnowing algorithm keeps per-window minima; the corpus-scale
     dedup variant of that is minhash in operators/dedup.py — this scalar is
     the cheap per-doc fingerprint column.)"""
     toks = tokens(text_col)
     n = F.size(toks)
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i, window))),
     )
     return F.array_min(shingle_hashes)
 
 
-def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_profile(
+    df: DataFrame, id_col: str, text_col: str, fingerprint_hash: str = "xxhash64"
+) -> DataFrame:
     """One-pass per-document profile: tokens, chars, detected lang, quality,
-    fingerprint."""
+    fingerprint (``fingerprint_hash`` as in :func:`doc_fingerprint`)."""
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
         lang_id(text_col).alias("lang_detected"),
         quality_score(text_col).alias("quality"),
-        doc_fingerprint(text_col).alias("fingerprint"),
+        doc_fingerprint(text_col, hash_fn=fingerprint_hash).alias("fingerprint"),
     )

@@ -22,10 +22,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _lang_oracle() -> str:
-    """DuckDB twin of operators.text.lang_id: stopword-hit scores per
-    language, argmax with the same (score, lang) lexicographic tie-break
-    (higher score wins; on ties the reverse-alphabetically larger lang)."""
+def _lang_score_case() -> tuple[str, str]:
+    """Reusable pieces of the lang_id DuckDB twin: per-language stopword-hit
+    score expressions and the argmax CASE with the same (score, lang)
+    lexicographic tie-break (higher score wins; on ties the
+    reverse-alphabetically larger lang)."""
     score_exprs = ",\n           ".join(
         f"len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'), "
         f"{words!r})) AS s_{lang}".replace("'", "'")
@@ -40,6 +41,12 @@ def _lang_oracle() -> str:
         earlier = [f"s_{lang} > s_{o}" for o in langs_desc[:i]]
         case += f"  WHEN {' AND '.join(earlier + conds)} THEN '{lang}'\n"
     case += "  ELSE 'und' END"
+    return score_exprs, case
+
+
+def _lang_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id rolled up to corpus counts."""
+    score_exprs, case = _lang_score_case()
     return f"""
     WITH scored AS (
         SELECT doc_id,
@@ -63,11 +70,47 @@ def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_profile_full")  # rows-only: xxhash64 fingerprint has no DuckDB twin
+def _text_profile_oracle() -> str:
+    """DuckDB twin of operators.text.text_profile with the portable md5
+    fingerprint: token/char counts, lang argmax (shared CASE), the composite
+    quality heuristic, and min-over-8-token-shingle md5 (lexicographic min
+    over lowercase hex is engine-independent)."""
+    score_exprs, case = _lang_score_case()
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+           {score_exprs}
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, text, w, {case} AS lang_detected,
+               len(w) AS n_tokens, length(text) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                   / nullif(length(text), 0) AS alpha_ratio,
+               CAST(length(text) AS DOUBLE) / nullif(len(w), 0) AS avg_tok
+        FROM base
+    )
+    SELECT doc_id, n_tokens, n_chars, lang_detected,
+           round((CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
+                 * (CASE WHEN avg_tok >= 2 AND avg_tok <= 12 THEN 1.0 ELSE 0.5 END)
+                 * coalesce(alpha_ratio, 0.0), 6) AS quality,
+           list_min(list_transform(
+               range(1, greatest(len(w) - 7, 1) + 1),
+               i -> md5(array_to_string(w[i:i+7], ' ')))) AS fingerprint
+    FROM m
+    """
+
+
+@query("text_profile_full", oracle=_text_profile_oracle())
 def text_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-doc profile: tokens/chars/lang/quality/fingerprint."""
+    """One-pass per-doc profile: tokens/chars/lang/quality/fingerprint.
+
+    Uses the portable md5 fingerprint variant so the WHOLE profile row is
+    oracle-checkable (the xxhash64 default is the faster engine-internal
+    family; same min-over-shingles structure either way)."""
     docs = _t(spark, sf_dir, "documents")
-    return text_profile(docs, "doc_id", "text")
+    return text_profile(docs, "doc_id", "text", fingerprint_hash="md5")
 
 
 @query(
@@ -212,12 +255,33 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@query("multimodal_features")  # rows-only: stubbed decoder is engine-defined
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           CAST(length(text) AS INT) AS n_bytes,
+           array_to_string(list_transform(range(0, 16),
+               i -> CAST(round(ascii(substr(text,
+                        least(i * greatest(1, length(text) // 16),
+                              length(text) - 1) + 1, 1)) / 255.0, 4)
+                    AS VARCHAR)), ',') AS feature_csv
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns end-to-end: synthesize blobs from document
     bytes (deterministic), byte-size-aware repartition, Arrow-batched
     feature extraction via mapInPandas. The decode is the documented fake;
-    everything around it is the real 100-TB plumbing."""
+    everything around it is the real 100-TB plumbing.
+
+    Oracle-checkable because the fake decoder is pure byte sampling
+    (blob[min(i·(len//dim), len-1)]/255) and the synthesized blobs are the
+    documents' ASCII bytes — so ascii(substr(text, …)) in DuckDB replicates
+    the whole mapInPandas path value-for-value (feature vector serialized
+    to CSV on both sides; round-4 sits far from the float32 error bound)."""
     from ..operators.multimodal import extract_features, media_repartition
 
     docs = _t(spark, sf_dir, "documents")
@@ -235,4 +299,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    return extract_features(media_repartition(media), dim=16)
+    feats = extract_features(media_repartition(media), dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string")),
+        ).alias("feature_csv"),
+    )
