@@ -279,3 +279,63 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+
+
+def _sample_oracle() -> str:
+    from ..operators.sampling import rate_threshold_hex
+
+    thr = rate_threshold_hex(0.1)
+    return f"""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE substr(md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '{thr}'
+    """
+
+
+@query("hash_sample_orders", oracle=_sample_oracle())
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample keyed on o_orderkey: membership is a pure
+    function of the key (operators/sampling.py), so the SAME rows are kept
+    under any partitioning, file layout, or engine — the oracle recomputes
+    membership independently in DuckDB and must select the identical rows.
+    Map-only; the predicate fuses into the scan."""
+    from ..operators.sampling import hash_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return hash_sample(orders, "o_orderkey", 0.1).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def _stratified_oracle() -> str:
+    from ..operators.sampling import rate_threshold_hex
+
+    t_b, t_a, t_d = (rate_threshold_hex(r) for r in (0.5, 0.2, 0.05))
+    return f"""
+    SELECT c_mktsegment, count(*) AS n_sampled, count(DISTINCT c_custkey) AS n_keys
+    FROM customer
+    WHERE substr(md5('42:' || CAST(c_custkey AS VARCHAR)), 1, 8) <
+          CASE c_mktsegment WHEN 'BUILDING' THEN '{t_b}'
+                            WHEN 'AUTOMOBILE' THEN '{t_a}'
+                            ELSE '{t_d}' END
+    GROUP BY c_mktsegment
+    """
+
+
+@query("stratified_sample_counts", oracle=_stratified_oracle())
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates (downsample dominant strata, keep
+    more of rare ones) — the class-rebalancing primitive for training-data
+    curation. Still one map-only filter: the threshold is a CASE over the
+    strata column, no per-stratum pass."""
+    from ..operators.sampling import stratified_hash_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    sampled = stratified_hash_sample(
+        cust, key="c_custkey", strata="c_mktsegment",
+        rates={"BUILDING": 0.5, "AUTOMOBILE": 0.2}, default_rate=0.05,
+    )
+    return sampled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+    )
