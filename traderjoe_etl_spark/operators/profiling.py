@@ -1,0 +1,91 @@
+"""One-pass column profiling (data-quality summary for pipeline intake).
+
+``profile_columns`` computes, for every requested column, in ONE aggregate
+over ONE scan: non-null count, null fraction, distinct count, min/max
+(numeric columns as doubles, everything else as strings), and numeric mean.
+The result is unpivoted to long format (one row per column) driver-side —
+the exploded array is a single row, so the unpivot is free.
+
+Scale notes:
+- ``distinct="approx"`` (default) uses HyperLogLog sketches — all columns
+  in one pass, no row multiplication. This is the 100-TB path.
+- ``distinct="exact"`` uses ``count(DISTINCT col)``; Spark plans N distinct
+  aggregates as an Expand that replicates every row N times before the
+  shuffle — fine on small/medium data and for oracle checks, a deliberate
+  N× cost at scale (the docstring IS the warning).
+- Everything else (count/min/max/avg) is partial-aggregated map-side
+  regardless of the distinct mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    distinct: str = "approx",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Long-format per-column profile: one row per column with
+    (column, n_rows, n_nonnull, null_frac, n_distinct, min_num, max_num,
+    avg_num, min_str, max_str)."""
+    cols = columns or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        col = F.col(c)
+        is_num = isinstance(types[c], _NUMERIC)
+        nd = (
+            F.approx_count_distinct(c, rsd) if distinct == "approx" else F.countDistinct(c)
+        )
+        aggs += [
+            F.count(col).alias(f"__cnt_{c}"),
+            nd.alias(f"__nd_{c}"),
+            (F.min(col).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__minn_{c}"
+            ),
+            (F.max(col).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__maxn_{c}"
+            ),
+            (F.round(F.avg(col), 4) if is_num else F.lit(None).cast("double")).alias(
+                f"__avg_{c}"
+            ),
+            (F.lit(None).cast("string") if is_num else F.min(col).cast("string")).alias(
+                f"__mins_{c}"
+            ),
+            (F.lit(None).cast("string") if is_num else F.max(col).cast("string")).alias(
+                f"__maxs_{c}"
+            ),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__cnt_{c}").alias("n_nonnull"),
+                F.round(
+                    (F.col("__n_rows") - F.col(f"__cnt_{c}"))
+                    / F.nullif(F.col("__n_rows"), F.lit(0)),
+                    6,
+                ).alias("null_frac"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__minn_{c}").alias("min_num"),
+                F.col(f"__maxn_{c}").alias("max_num"),
+                F.col(f"__avg_{c}").alias("avg_num"),
+                F.col(f"__mins_{c}").alias("min_str"),
+                F.col(f"__maxs_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(entries).alias("p")).select("p.*")

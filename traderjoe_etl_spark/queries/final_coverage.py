@@ -212,3 +212,54 @@ def scd2_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+def _profile_oracle() -> str:
+    """DuckDB twin of operators.profiling.profile_columns (exact-distinct
+    mode) over the derived events frame: one UNION ALL block per column."""
+    ev = """(SELECT event_id, user_id, event_type, value,
+                    CASE WHEN value >= 10 THEN value END AS value_nullable,
+                    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+             FROM events)"""
+    num_cols = ["event_id", "user_id", "value", "value_nullable"]
+    str_cols = ["event_type", "ts_str"]
+    blocks = []
+    for c in num_cols + str_cols:
+        is_num = c in num_cols
+        minmax = (
+            f"CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num,\n"
+            f"  round(avg({c}), 4) AS avg_num,\n"
+            "  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            if is_num
+            else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,\n"
+            "  CAST(NULL AS DOUBLE) AS avg_num,\n"
+            f"  min({c}) AS min_str, max({c}) AS max_str"
+        )
+        blocks.append(
+            f"""SELECT '{c}' AS "column", count(*) AS n_rows, count({c}) AS n_nonnull,
+  round((count(*) - count({c})) / CAST(nullif(count(*), 0) AS DOUBLE), 6) AS null_frac,
+  count(DISTINCT {c}) AS n_distinct,
+  {minmax}
+FROM {ev}"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+@query("column_profile_events", oracle=_profile_oracle())
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile over events (+ a deterministically
+    nullified value column so the null-counting path has real evidence —
+    the raw tables carry no NULLs): non-null/null-frac/distinct/min/max/avg
+    in ONE aggregate over ONE scan (operators/profiling.py). Exact-distinct
+    mode here for the oracle; the 100-TB default is HLL sketches."""
+    from ..operators.profiling import profile_columns
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") >= 10, F.col("value")).alias("value_nullable"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    return profile_columns(ev, distinct="exact")
