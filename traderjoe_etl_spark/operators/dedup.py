@@ -58,9 +58,15 @@ def _word_shingles(text_col: str | Column, k: int = 3) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document: (id, sig array<long>).
+    """MinHash signature per document: (id, sig array<long>), or
+    array<string> for the portable family.
 
     Plan shape matters here: explode shingles → hash each shingle string
     ONCE (``xxhash64``) → 64 ``min(xxhash64(h, i))`` aggregates per doc.
@@ -70,6 +76,13 @@ def minhash_signatures(
     the shingle array per hash function — measured 64× slower; the
     explode+partial-agg form hashes each shingle exactly once and the
     shuffle carries only (id, 64 longs) per doc.
+
+    ``hash_family="md5"`` swaps both levels for RFC-1321 digests (base =
+    md5(shingle) hex, permutation i = md5(i ':' base), min is the
+    lexicographic min over lowercase hex — numerically identical on every
+    engine, so signatures are reproducible outside Spark). Same plan shape,
+    ~3× the hashing cost and 32-byte sig entries instead of 8 — use it when
+    cross-engine verifiability matters more than throughput.
     """
     # Shingle construction is CPU-heavy; if the scan has fewer input files
     # than cores (single small file locally), spread it. With a real multi-
@@ -84,12 +97,18 @@ def minhash_signatures(
         n_files = 0
     if 0 < n_files < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
+    base = F.xxhash64("__sh") if hash_family == "xxhash64" else F.md5("__sh")
     exploded = df.select(
         F.col(id_col), F.explode(_word_shingles(text_col, k=shingle_k)).alias("__sh")
-    ).select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
+    ).select(F.col(id_col), base.alias("__h"))
     # expr strings: one py4j call per aggregate vs ~5 for the composed form
     # (same plan; see simhash_fingerprint for the measured difference)
-    mins = [F.expr(f"min(xxhash64(__h, {i})) AS __m{i}") for i in range(num_hashes)]
+    if hash_family == "xxhash64":
+        mins = [F.expr(f"min(xxhash64(__h, {i})) AS __m{i}") for i in range(num_hashes)]
+    else:
+        mins = [
+            F.expr(f"min(md5(concat('{i}:', __h))) AS __m{i}") for i in range(num_hashes)
+        ]
     per_doc = exploded.groupBy(id_col).agg(*mins)
     sig = "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
     return per_doc.select(F.col(id_col), F.expr(sig).alias("sig"))
@@ -102,6 +121,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -116,18 +136,26 @@ def minhash_lsh_candidates(
     (id_a, id_b, n_bands_shared).
     """
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).select(
-        F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
-    )
+    with_sig = minhash_signatures(
+        df, id_col, text_col, shingle_k, num_hashes, hash_family=hash_family
+    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+
+    def band_key(b):
+        sl = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+        # md5 family: portable band key (md5 of the comma-joined hex mins);
+        # default: murmur3 of the long slice (engine-internal, faster)
+        if hash_family == "md5":
+            return F.md5(F.concat_ws(",", sl))
+        return F.hash(sl).cast("string")
+
     band_entries = with_sig.select(
         "__id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.hash(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("band_hash"))
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("__id", "band.band_idx", "band.band_hash")

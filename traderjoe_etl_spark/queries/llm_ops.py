@@ -269,16 +269,62 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.unpersist()
 
 
-@query("minhash_near_dup")  # rows-only: banding/hash choices are engine-specific
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB twin of the FULL MinHash+LSH pipeline in the portable md5
+    family: shingle → md5 base → 64 seeded re-hash mins (lexicographic min
+    over lowercase hex ≡ numeric min, identical on every engine) → md5 band
+    keys → band self-join → per-pair band counts."""
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(md5('{i}:' || h)) AS m{i}" for i in range(num_hashes)
+    )
+    band_blocks = "\n        UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_hash FROM sig".format(
+            b=b, key=" || ',' || ".join(f"m{i}" for i in range(b * r, (b + 1) * r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [array_to_string(w, ' ')] END) AS s
+        FROM toks
+    ),
+    hb AS (SELECT doc_id, md5(s) AS h FROM sh),
+    sig AS (SELECT doc_id,
+               {mins}
+            FROM hb GROUP BY doc_id),
+    bands AS (
+        {band_blocks}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("minhash_near_dup", oracle=_minhash_oracle())
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs over documents
-    (shingle → minhash → band → bucket join; SURVEY.md §2B ◆). No SQL
-    oracle — the hash family is engine-defined; correctness is covered by
-    pytest against exact Jaccard on sampled pairs."""
+    (shingle → minhash → band → bucket join; SURVEY.md §2B ◆), in the
+    portable md5 hash family so the ENTIRE approximate pipeline — base
+    hashes, the 64 permutation mins, band keys, the candidate set itself —
+    is independently recomputed by the DuckDB oracle. The xxhash64 default
+    family (operators/dedup.py) is ~3× cheaper and stays the scale path;
+    pytest covers it against exact Jaccard."""
     from ..operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text", hash_family="md5")
 
 
 def _sample_oracle() -> str:
