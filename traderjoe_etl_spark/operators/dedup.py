@@ -176,29 +176,75 @@ def minhash_lsh_candidates(
         band_entries.unpersist()
 
 
-def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document.
 
-    explode tokens → xxhash64 → per-bit signed vote (+1/-1) summed per doc →
+    explode tokens → hash → per-bit signed vote (+1/-1) summed per doc →
     sign → reassembled fingerprint. One shuffle on the doc id; the 64
     conditional sums are one partial-aggregated pass.
+
+    Default family: ``xxhash64`` → (id, simhash BIGINT). ``hash_family=
+    "md5"`` is the engine-portable family: the token hash is the first 16
+    hex chars of md5, read as four 16-bit chunks (chunk c = hex chars
+    4c+1..4c+4, bit i = (chunk[i//16] >> (i%16)) & 1), and the fingerprint
+    is rendered as a 16-hex-char string ``%04x`` per chunk left-to-right —
+    every step is exact integer arithmetic any engine reproduces, so the
+    fingerprints (and everything derived from them) can be verified
+    outside Spark. Same plan shape; ~2× the per-token hash cost.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    )
     # one F.expr per vote (vs ~6 py4j calls per composed Column: the wide
     # generated expression is built as SQL strings, ~5× faster plan build)
-    votes = [
-        F.expr(f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS __b{i}")
-        for i in range(bits)
+    if hash_family == "xxhash64":
+        toks = toks.withColumn("__h", F.xxhash64("__tok"))
+        votes = [
+            F.expr(f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS __b{i}")
+            for i in range(bits)
+        ]
+        per_doc = toks.groupBy(id_col).agg(*votes)
+        fp_sql = " | ".join(
+            f"shiftleft(CAST(CASE WHEN __b{i} > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+            for i in range(bits)
+        )
+        return per_doc.select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
+    if bits != 64:
+        raise ValueError("md5 family is fixed at 64 bits")
+    chunks = [
+        F.expr(f"CAST(conv(substring(md5(__tok), {4 * c + 1}, 4), 16, 10) AS INT) AS __c{c}")
+        for c in range(4)
     ]
-    per_doc = toks.groupBy(id_col).agg(*votes)
-    fp_sql = " | ".join(
-        f"shiftleft(CAST(CASE WHEN __b{i} > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
-        for i in range(bits)
-    )
-    return per_doc.select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
+    votes = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__c{i // 16}, {i % 16}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS __b{i}"
+        )
+        for i in range(64)
+    ]
+    per_doc = toks.select(F.col(id_col), *chunks).groupBy(id_col).agg(*votes)
+    keys = [
+        " | ".join(
+            f"shiftleft(CASE WHEN __b{16 * c + b} > 0 THEN 1 ELSE 0 END, {b})" for b in range(16)
+        )
+        for c in range(4)
+    ]
+    fp = "lower(format_string('%04x%04x%04x%04x', " + ", ".join(keys) + "))"
+    return per_doc.select(F.col(id_col), F.expr(fp).alias("simhash"))
+
+
+def simhash_hex_chunks(fp: Column | str, n: int = 4) -> list[Column]:
+    """The four 16-bit band keys of an md5-family hex fingerprint
+    (chunk c = hex chars 4c+1..4c+4)."""
+    c = F.col(fp) if isinstance(fp, str) else fp
+    return [F.conv(F.substring(c, 4 * i + 1, 4), 16, 10).cast("int") for i in range(n)]
 
 
 def hamming_distance(a: Column | str, b: Column | str) -> Column:

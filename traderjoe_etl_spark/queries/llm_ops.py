@@ -218,33 +218,97 @@ def cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_batch(emb, queries, k=5, round_digits=6, exclude_self=True)
 
 
-@query("simhash_near_dup")  # rows-only: the fingerprint hash family is engine-defined
+def simhash_sig_sql() -> str:
+    """DuckDB CTE chain computing md5-family SimHash fingerprints
+    (``fp(doc_id, simhash)``) exactly as operators/dedup.py's
+    ``simhash_fingerprint(hash_family='md5')``: token md5 → four 16-bit
+    chunks → 64 signed bit votes → sign → ``%04x``×4 hex fingerprint."""
+    chunk = lambda c: f"('0x' || substr(md5(tok), {4 * c + 1}, 4))::BIGINT AS c{c}"
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((c{i // 16} >> {i % 16}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    keys = [
+        " | ".join(f"(CASE WHEN b{16 * c + b} > 0 THEN 1 ELSE 0 END << {b})" for b in range(16))
+        for c in range(4)
+    ]
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, {chunk(0)}, {chunk(1)}, {chunk(2)}, {chunk(3)}
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               {votes}
+        FROM ch GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               printf('%04x%04x%04x%04x', {keys[0]}, {keys[1]}, {keys[2]}, {keys[3]}) AS simhash
+        FROM sig
+    )
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    ham = " + ".join(
+        f"bit_count(xor(('0x' || substr(a.simhash, {4 * c + 1}, 4))::BIGINT,"
+        f" ('0x' || substr(b.simhash, {4 * c + 1}, 4))::BIGINT))"
+        for c in range(4)
+    )
+    bands = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS band,"
+        f" ('0x' || substr(simhash, {4 * c + 1}, 4))::BIGINT AS key FROM fp"
+        for c in range(4)
+    )
+    return f"""
+    WITH {simhash_sig_sql()},
+    bands AS (
+        {bands}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE {ham} <= 3
+    """
+
+
+@query("simhash_near_dup", oracle=_simhash_pairs_oracle())
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs over documents: 64-bit fingerprints,
-    banded self-join blocking, exact Hamming filter (SURVEY.md §2B ◆).
+    banded self-join blocking, exact Hamming filter (SURVEY.md §2B ◆), in
+    the portable md5 hash family so the DuckDB oracle independently
+    recomputes fingerprints, blocking AND the surviving pair set. The
+    xxhash64 family (operators/dedup.py) stays the cheaper scale default,
+    pytest-covered.
 
     Blocking is pigeonhole-exact: with the fingerprint split into 4×16-bit
     bands, any pair within Hamming distance 3 shares at least one whole
     band, so the self-join on (band, key) misses nothing while touching
-    ~n/2^16 of the pair space per band. The fingerprint table (one long per
-    doc) is persisted so the self-join doesn't recompute the token pass."""
-    from ..operators.dedup import hamming_distance, simhash_fingerprint
+    ~n/2^16 of the pair space per band. The fingerprint table (one short
+    string per doc) is persisted so the self-join doesn't recompute the
+    token pass."""
+    from ..operators.dedup import simhash_fingerprint, simhash_hex_chunks
 
     docs = _t(spark, sf_dir, "documents")
     # Scoped persist (minhash_lsh_candidates pattern): the self-join reads
     # the fingerprints twice; localCheckpoint(eager) truncates the result's
     # lineage so the cache can be released before returning.
-    fp = simhash_fingerprint(docs, "doc_id", "text").persist()
+    fp = simhash_fingerprint(docs, "doc_id", "text", hash_family="md5").persist()
+    chunks = simhash_hex_chunks("simhash")
     bands = fp.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
+                    F.struct(F.lit(i).alias("band"), chunks[i].alias("key"))
                     for i in range(4)
                 ]
             )
@@ -256,11 +320,16 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bands.select(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key"
     )
+    ham_a = simhash_hex_chunks("fp_a")
+    ham_b = simhash_hex_chunks("fp_b")
+    hamming = sum(
+        (F.bit_count(ham_a[i].bitwiseXOR(ham_b[i])) for i in range(4)), F.lit(0)
+    )
     try:
         pairs = (
             a.join(c, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", hamming_distance("fp_a", "fp_b").alias("hamming"))
+            .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= 3)
             .distinct()
         )

@@ -159,12 +159,21 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fingerprints")  # rows-only: engine-defined hash family
+def _simhash_fp_oracle() -> str:
+    from .llm_ops import simhash_sig_sql
+
+    return f"WITH {simhash_sig_sql()} SELECT doc_id, simhash FROM fp"
+
+
+@query("simhash_fingerprints", oracle=_simhash_fp_oracle())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprint in the portable md5 family
+    (hex-string rendering) — the DuckDB oracle recomputes every bit vote.
+    The xxhash64 BIGINT family stays the scale default (pytest-covered)."""
     from ..operators.dedup import simhash_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_fingerprint(docs, "doc_id", "text")
+    return simhash_fingerprint(docs, "doc_id", "text", hash_family="md5")
 
 
 @query(
