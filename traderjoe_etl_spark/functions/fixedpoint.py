@@ -46,29 +46,40 @@ def scaled_units(col: Column, scale: int) -> Column:
     return F.round(col * F.lit(float(10**scale))).cast("long")
 
 
-def fixed_sum_aggs(name: str, col: Column, scale: int) -> list[Column]:
+def fixed_sum_aggs(name: str, expr: str, scale: int) -> list[Column]:
     """Aggregate expressions (two long sums) for one money measure.
+
+    ``expr`` is the per-row money expression as a SQL string — the whole
+    aggregate pair is built as two ``F.expr`` calls (2 py4j round trips)
+    instead of ~25 composed-Column calls; with several measures per query
+    the difference is ~0.3 s of pure driver time per plan build (BENCH.md,
+    same finding as the simhash/minhash expression banks).
 
     Use inside ``groupBy(...).agg(*fixed_sum_aggs(...), ...)`` — both sums
     are plain longs, so they partial-aggregate map-side inside whole-stage
-    codegen; the shuffle carries |groups| rows of longs.
+    codegen; the shuffle carries |groups| rows of longs. ``div``/``%`` are
+    exact long ops (values are non-negative; see module docstring).
     """
-    u = scaled_units(col, scale)
-    hi = ((u - F.pmod(u, F.lit(SPLIT))) / F.lit(SPLIT)).cast("long")
-    lo = F.pmod(u, F.lit(SPLIT))
+    u = f"CAST(round(({expr}) * {float(10**scale)!r}) AS BIGINT)"
     return [
-        F.sum(hi).alias(f"__{name}_hi"),
-        F.sum(lo).alias(f"__{name}_lo"),
+        F.expr(f"sum({u} div {SPLIT}) AS __{name}_hi"),
+        F.expr(f"sum({u} % {SPLIT}) AS __{name}_lo"),
     ]
+
+
+def fixed_sum_value_sql(name: str, scale: int) -> str:
+    """SQL fragment recombining the two long sums into the double value
+    (for embedding in larger ``F.expr`` strings)."""
+    hi_factor = float(10 ** (6 - scale)) if scale <= 6 else 1.0 / float(10 ** (scale - 6))
+    return (
+        f"(CAST(__{name}_hi AS DOUBLE) * {hi_factor!r}"
+        f" + CAST(__{name}_lo AS DOUBLE) / {float(10**scale)!r})"
+    )
 
 
 def fixed_sum_value(name: str, scale: int) -> Column:
     """Recombine the two long sums into the (deterministic) double value."""
-    hi_factor = float(10 ** (6 - scale)) if scale <= 6 else 1.0 / float(10 ** (scale - 6))
-    return (
-        F.col(f"__{name}_hi").cast("double") * F.lit(hi_factor)
-        + F.col(f"__{name}_lo").cast("double") / F.lit(float(10**scale))
-    ).alias(name)
+    return F.expr(f"{fixed_sum_value_sql(name, scale)} AS {name}")
 
 
 def fixed_sum_sql(expr: str, scale: int) -> str:

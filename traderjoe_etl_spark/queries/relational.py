@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.fixedpoint import fixed_sum_aggs, fixed_sum_sql, fixed_sum_value
+from ..functions.fixedpoint import fixed_sum_aggs, fixed_sum_sql, fixed_sum_value, fixed_sum_value_sql
 from ..operators.joins import broadcast_dim_join
 from ..operators.topk import top_k, top_k_per_group
 from ..operators.windows import moving_agg, sessionize, snapshot_delta
@@ -61,16 +61,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical results; the hi/lo split keeps partial sums overflow-safe
     past 10^12 rows. Oracle mirrors the identical integer sums + recombine."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     grouped = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            *fixed_sum_aggs("sum_qty", F.col("l_quantity"), 2),
-            *fixed_sum_aggs("sum_base_price", F.col("l_extendedprice"), 2),
-            *fixed_sum_aggs("sum_disc_price", disc_price, 4),
-            *fixed_sum_aggs("sum_charge", disc_price * (1 + F.col("l_tax")), 6),
-            *fixed_sum_aggs("sum_disc", F.col("l_discount"), 2),
+            *fixed_sum_aggs("sum_qty", "l_quantity", 2),
+            *fixed_sum_aggs("sum_base_price", "l_extendedprice", 2),
+            *fixed_sum_aggs("sum_disc_price", "l_extendedprice * (1 - l_discount)", 4),
+            *fixed_sum_aggs("sum_charge", "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6),
+            *fixed_sum_aggs("sum_disc", "l_discount", 2),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -81,9 +80,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_sum_value("sum_base_price", 2),
         fixed_sum_value("sum_disc_price", 4),
         fixed_sum_value("sum_charge", 6),
-        F.round(fixed_sum_value("sum_qty", 2) / F.col("count_order"), 4).alias("avg_qty"),
-        F.round(fixed_sum_value("sum_base_price", 2) / F.col("count_order"), 4).alias("avg_price"),
-        F.round(fixed_sum_value("sum_disc", 2) / F.col("count_order"), 4).alias("avg_disc"),
+        F.expr(f"round({fixed_sum_value_sql('sum_qty', 2)} / count_order, 4) AS avg_qty"),
+        F.expr(f"round({fixed_sum_value_sql('sum_base_price', 2)} / count_order, 4) AS avg_price"),
+        F.expr(f"round({fixed_sum_value_sql('sum_disc', 2)} / count_order, 4) AS avg_disc"),
         "count_order",
     )
 
@@ -142,7 +141,7 @@ def rollup_fees_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            *fixed_sum_aggs("total_price", F.col("l_extendedprice"), 2),
+            *fixed_sum_aggs("total_price", "l_extendedprice", 2),
             F.count(F.lit(1)).alias("n"),
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),

@@ -40,12 +40,27 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 NANOS_TS_COLS = {"events": ("ts",)}
 
 
+# Inferred schema per (sf_dir, table) — the metastore role. Parquet schema
+# inference lists + footer-reads at plan-build time (~0.1 s/table/query);
+# pinning the schema on re-reads skips that. Keyed by path so different SF
+# dirs never share entries; within one path the schema is immutable for the
+# life of the process (driver test data is static).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one synthetic table."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     for col in NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             # integer division: `/` would widen the ~1.7e18 nanos long to
