@@ -57,6 +57,25 @@ def _word_shingles(text_col: str | Column, k: int = 3) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i) for the
+    portable MinHash family: ``h_i(x) = (a_i·x + b_i) mod (2^31−1)``.
+
+    Fixed, documented constants (Knuth multiplicative constants on an
+    index-Weyl sequence) so ANY engine can regenerate them: a_i is forced
+    odd and < 2^30, keeping a_i·x < 2^62 for a 32-bit x — no overflow in
+    signed 64-bit arithmetic on either side of the oracle."""
+    out = []
+    for i in range(n):
+        a = ((2654435761 * (i + 1)) ^ 0x85EBCA6B) % (1 << 30) | 1
+        b = (2246822519 * (i + 1) + 0x9E3779B9) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -65,24 +84,28 @@ def minhash_signatures(
     num_hashes: int = 64,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document: (id, sig array<long>), or
-    array<string> for the portable family.
+    """MinHash signature per document: (id, sig array<long>).
 
     Plan shape matters here: explode shingles → hash each shingle string
-    ONCE (``xxhash64``) → 64 ``min(xxhash64(h, i))`` aggregates per doc.
-    The k 'independent permutations' are seeded re-hashes of the fixed-width
-    base hash — never of the string. An array-expression formulation
-    (array_min(transform(...)) × 64) is NOT CSE'd by Catalyst and re-builds
-    the shingle array per hash function — measured 64× slower; the
-    explode+partial-agg form hashes each shingle exactly once and the
-    shuffle carries only (id, 64 longs) per doc.
+    ONCE → 64 min-aggregates per doc. The k 'independent permutations' are
+    derived from the fixed-width base hash — never of the string. An
+    array-expression formulation (array_min(transform(...)) × 64) is NOT
+    CSE'd by Catalyst and re-builds the shingle array per hash function —
+    measured 64× slower; the explode+partial-agg form hashes each shingle
+    exactly once and the shuffle carries only (id, 64 longs) per doc.
 
-    ``hash_family="md5"`` swaps both levels for RFC-1321 digests (base =
-    md5(shingle) hex, permutation i = md5(i ':' base), min is the
-    lexicographic min over lowercase hex — numerically identical on every
-    engine, so signatures are reproducible outside Spark). Same plan shape,
-    ~3× the hashing cost and 32-byte sig entries instead of 8 — use it when
-    cross-engine verifiability matters more than throughput.
+    ``hash_family="xxhash64"`` (default): permutation i is the seeded
+    re-hash ``xxhash64(base, i)`` — engine-internal but fastest-possible
+    inside Spark codegen.
+
+    ``hash_family="portable"``: the textbook universal-hash construction —
+    base ``x`` = first 8 hex chars of md5(shingle) as a 32-bit integer,
+    permutation i = ``(a_i·x + b_i) mod (2^31−1)`` with the documented
+    deterministic coefficients of :func:`minhash_coeffs` (a_i < 2^30 keeps
+    the product inside a signed 64-bit long). Exact integer arithmetic any
+    engine reproduces — the DuckDB oracle recomputes signatures
+    independently — at ~the same cost as the xxhash64 family (one md5 per
+    shingle, then 64 multiply-add-mods in codegen).
     """
     # Shingle construction is CPU-heavy; if the scan has fewer input files
     # than cores (single small file locally), spread it. With a real multi-
@@ -97,21 +120,26 @@ def minhash_signatures(
         n_files = 0
     if 0 < n_files < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    base = F.xxhash64("__sh") if hash_family == "xxhash64" else F.md5("__sh")
+    if hash_family == "xxhash64":
+        base = F.xxhash64("__sh")
+    else:
+        base = F.expr("CAST(conv(substring(md5(__sh), 1, 8), 16, 10) AS BIGINT)")
     exploded = df.select(
         F.col(id_col), F.explode(_word_shingles(text_col, k=shingle_k)).alias("__sh")
     ).select(F.col(id_col), base.alias("__h"))
-    # expr strings: one py4j call per aggregate vs ~5 for the composed form
-    # (same plan; see simhash_fingerprint for the measured difference)
+    # ONE generated expression for all 64 mins: `array(min(...), ...)` is a
+    # single F.expr -> a single py4j round trip + a single SQL parse, where
+    # 64 separate agg Columns cost ~500 round trips ≈ 0.3 s of plan build
+    # (profiled; same plan either way — aggregates inside array() are still
+    # independent partial-agg min()s, the array assembles post-aggregation).
     if hash_family == "xxhash64":
-        mins = [F.expr(f"min(xxhash64(__h, {i})) AS __m{i}") for i in range(num_hashes)]
+        terms = [f"min(xxhash64(__h, {i}))" for i in range(num_hashes)]
     else:
-        mins = [
-            F.expr(f"min(md5(concat('{i}:', __h))) AS __m{i}") for i in range(num_hashes)
+        terms = [
+            f"min(({a} * __h + {b}) % {MERSENNE31})"
+            for (a, b) in minhash_coeffs(num_hashes)
         ]
-    per_doc = exploded.groupBy(id_col).agg(*mins)
-    sig = "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
-    return per_doc.select(F.col(id_col), F.expr(sig).alias("sig"))
+    return exploded.groupBy(id_col).agg(F.expr("array(" + ", ".join(terms) + ") AS sig"))
 
 
 def minhash_lsh_candidates(
@@ -141,11 +169,15 @@ def minhash_lsh_candidates(
     ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
 
     def band_key(b):
+        # portable family: md5 of the comma-joined decimal mins (any engine
+        # reproduces it); default: murmur3 of the long slice (faster)
+        if hash_family == "portable":
+            cols = ", ".join(
+                f"CAST(__sig[{i}] AS STRING)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            return F.expr(f"md5(concat_ws(',', {cols}))")
         sl = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-        # md5 family: portable band key (md5 of the comma-joined hex mins);
-        # default: murmur3 of the long slice (engine-internal, faster)
-        if hash_family == "md5":
-            return F.md5(F.concat_ws(",", sl))
         return F.hash(sl).cast("string")
 
     band_entries = with_sig.select(
@@ -204,40 +236,47 @@ def simhash_fingerprint(
     )
     # one F.expr per vote (vs ~6 py4j calls per composed Column: the wide
     # generated expression is built as SQL strings, ~5× faster plan build)
+    # Fused expression banks: ONE array(sum(...)×64) aggregate + ONE
+    # projection expr — 2 py4j round trips / SQL parses instead of ~65
+    # (see minhash_signatures; measured ~0.3 s of plan build per query).
     if hash_family == "xxhash64":
         toks = toks.withColumn("__h", F.xxhash64("__tok"))
-        votes = [
-            F.expr(f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS __b{i}")
-            for i in range(bits)
-        ]
-        per_doc = toks.groupBy(id_col).agg(*votes)
-        fp_sql = " | ".join(
-            f"shiftleft(CAST(CASE WHEN __b{i} > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+        votes = ", ".join(
+            f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
             for i in range(bits)
         )
-        return per_doc.select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
+        per_doc = toks.groupBy(id_col).agg(F.expr(f"array({votes}) AS __v"))
+        fp_sql = " | ".join(
+            f"shiftleft(CAST(CASE WHEN __v[{i}] > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+            for i in range(bits)
+        )
+        return per_doc.select(F.col(id_col), F.expr(f"({fp_sql}) AS simhash"))
     if bits != 64:
         raise ValueError("md5 family is fixed at 64 bits")
-    chunks = [
-        F.expr(f"CAST(conv(substring(md5(__tok), {4 * c + 1}, 4), 16, 10) AS INT) AS __c{c}")
-        for c in range(4)
-    ]
-    votes = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(__c{i // 16}, {i % 16}) & 1) = 1 THEN 1 ELSE -1 END)"
-            f" AS __b{i}"
-        )
+    votes = ", ".join(
+        f"sum(CASE WHEN (shiftright(__c{i // 16}, {i % 16}) & 1) = 1 THEN 1 ELSE -1 END)"
         for i in range(64)
-    ]
-    per_doc = toks.select(F.col(id_col), *chunks).groupBy(id_col).agg(*votes)
+    )
+    per_doc = (
+        toks.selectExpr(
+            id_col,
+            *[
+                f"CAST(conv(substring(md5(__tok), {4 * c + 1}, 4), 16, 10) AS INT) AS __c{c}"
+                for c in range(4)
+            ],
+        )
+        .groupBy(id_col)
+        .agg(F.expr(f"array({votes}) AS __v"))
+    )
     keys = [
         " | ".join(
-            f"shiftleft(CASE WHEN __b{16 * c + b} > 0 THEN 1 ELSE 0 END, {b})" for b in range(16)
+            f"shiftleft(CASE WHEN __v[{16 * c + b}] > 0 THEN 1 ELSE 0 END, {b})"
+            for b in range(16)
         )
         for c in range(4)
     ]
-    fp = "lower(format_string('%04x%04x%04x%04x', " + ", ".join(keys) + "))"
-    return per_doc.select(F.col(id_col), F.expr(fp).alias("simhash"))
+    fp = "lower(format_string('%04x%04x%04x%04x', " + ", ".join(f"({k})" for k in keys) + "))"
+    return per_doc.select(F.col(id_col), F.expr(f"{fp} AS simhash"))
 
 
 def simhash_hex_chunks(fp: Column | str, n: int = 4) -> list[Column]:

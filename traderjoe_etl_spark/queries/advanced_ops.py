@@ -262,3 +262,42 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 4) AS value
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (``dropDuplicatesWithinWatermark``): the
+    events feed is written TWICE into the source directory (every event
+    arrives duplicated, same event time), and the stream must emit each
+    event_id exactly once. Duplicates share a timestamp, so they are always
+    inside the watermark horizon and the dedup guarantee is exact — the
+    oracle is simply the original events table. State is bounded: keys
+    older than the watermark are dropped (streaming analog of
+    operators.dedup.exact_dedup)."""
+    from ..streaming.jobs import stream_dedup
+
+    apply_runtime_confs(spark)
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("append").parquet(d)
+    events.write.mode("append").parquet(d)
+    src = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    deduped = stream_dedup(src, keys=["event_id"], watermark="2 hours")
+    _drain(deduped, "__stream_dedup_events", mode="append")
+    return spark.table("__stream_dedup_events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 4).alias("value"),
+    )

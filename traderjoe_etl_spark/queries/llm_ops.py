@@ -339,17 +339,20 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
-    """DuckDB twin of the FULL MinHash+LSH pipeline in the portable md5
-    family: shingle → md5 base → 64 seeded re-hash mins (lexicographic min
-    over lowercase hex ≡ numeric min, identical on every engine) → md5 band
-    keys → band self-join → per-pair band counts."""
+    """DuckDB twin of the FULL MinHash+LSH pipeline in the portable
+    universal-hash family: shingle → 32-bit md5-prefix base → 64
+    ``(a_i·x + b_i) mod (2^31−1)`` mins (minhash_coeffs constants) → md5
+    band keys → band self-join → per-pair band counts."""
+    from ..operators.dedup import MERSENNE31, minhash_coeffs
+
     r = num_hashes // bands
     mins = ",\n               ".join(
-        f"min(md5('{i}:' || h)) AS m{i}" for i in range(num_hashes)
+        f"min(({a} * x + {b}) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_blocks = "\n        UNION ALL\n".join(
-        "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_hash FROM sig".format(
-            b=b, key=" || ',' || ".join(f"m{i}" for i in range(b * r, (b + 1) * r))
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {key})) AS band_hash FROM sig".format(
+            b=b, key=", ".join(f"m{i}" for i in range(b * r, (b + 1) * r))
         )
         for b in range(bands)
     )
@@ -366,7 +369,7 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
                    ELSE [array_to_string(w, ' ')] END) AS s
         FROM toks
     ),
-    hb AS (SELECT doc_id, md5(s) AS h FROM sh),
+    hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
     sig AS (SELECT doc_id,
                {mins}
             FROM hb GROUP BY doc_id),
@@ -385,15 +388,18 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs over documents
     (shingle → minhash → band → bucket join; SURVEY.md §2B ◆), in the
-    portable md5 hash family so the ENTIRE approximate pipeline — base
-    hashes, the 64 permutation mins, band keys, the candidate set itself —
-    is independently recomputed by the DuckDB oracle. The xxhash64 default
-    family (operators/dedup.py) is ~3× cheaper and stays the scale path;
-    pytest covers it against exact Jaccard."""
+    portable universal-hash family so the ENTIRE approximate pipeline —
+    base hashes, the 64 permutation mins, band keys, the candidate set
+    itself — is independently recomputed by the DuckDB oracle, at
+    ~xxhash64-family cost (one md5 per shingle + codegen multiply-add-mod
+    permutations). The xxhash64 default family stays available; pytest
+    covers it against exact Jaccard."""
     from ..operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text", hash_family="md5")
+    return minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", hash_family="portable"
+    )
 
 
 def _sample_oracle() -> str:
