@@ -46,15 +46,31 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     return df.join(winners, id_col, "left_semi")
 
 
-def _word_shingles(text_col: str | Column, k: int = 3) -> Column:
-    """k-word shingles as an array column (lowercased, whitespace-split)."""
+def _tokens(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens. ALWAYS project this into its own
+    column before building shingles from it: the shingle expression
+    references the token array three times (size guard, transform source,
+    short-doc fallback), and a Generate node does NOT subexpression-
+    eliminate — inlining the split re-tokenizes every row 3× (measured
+    1.7× slower on the sf1 corpus)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def _shingles_from_tokens(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles from a pre-projected token-array column."""
     n = F.size(tokens)
     return F.when(n >= k, F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
     )).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def _word_shingles(text_col: str | Column, k: int = 3) -> Column:
+    """k-word shingles as an array column (lowercased, whitespace-split).
+    Prefer the two-step ``_tokens`` + ``_shingles_from_tokens`` with an
+    intermediate projection (see ``_tokens``)."""
+    return _shingles_from_tokens(_tokens(text_col), k)
 
 
 MERSENNE31 = (1 << 31) - 1
@@ -124,9 +140,14 @@ def minhash_signatures(
         base = F.xxhash64("__sh")
     else:
         base = F.expr("CAST(conv(substring(md5(__sh), 1, 8), 16, 10) AS BIGINT)")
-    exploded = df.select(
-        F.col(id_col), F.explode(_word_shingles(text_col, k=shingle_k)).alias("__sh")
-    ).select(F.col(id_col), base.alias("__h"))
+    exploded = (
+        df.select(F.col(id_col), _tokens(text_col).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingles_from_tokens(F.col("__w"), k=shingle_k)).alias("__sh"),
+        )
+        .select(F.col(id_col), base.alias("__h"))
+    )
     # ONE generated expression for all 64 mins: `array(min(...), ...)` is a
     # single F.expr -> a single py4j round trip + a single SQL parse, where
     # 64 separate agg Columns cost ~500 round trips ≈ 0.3 s of plan build
@@ -304,9 +325,9 @@ def ngram_jaccard_pairs(
     (``pairs``: columns id_a, id_b). |A∩B| / |A∪B| via array set ops after
     joining each side's distinct shingle set — only candidate pairs pay the
     set-intersection cost."""
-    sh = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(_word_shingles(text_col, k=shingle_k)).alias("__sh"),
+    sh = docs.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__w")).select(
+        "__id",
+        F.array_distinct(_shingles_from_tokens(F.col("__w"), k=shingle_k)).alias("__sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
