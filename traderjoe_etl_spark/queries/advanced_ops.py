@@ -301,3 +301,41 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round("value", 4).alias("value"),
     )
+
+
+@query(
+    "ivf_full_probe_topk",
+    oracle="""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine FROM sims
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ivf_full_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with FULL probing (n_probe = n_centroids) must equal exact
+    brute-force top-k — which gives the engine-defined index machinery
+    (k-means assignment, cluster bucketing, the isin-pruned search scan)
+    an exact SQL oracle: whatever centroids k-means produced, probing every
+    cluster covers the whole corpus, so any discrepancy vs the brute-force
+    SQL is a real bug in the index path. Partial-probe ANN recall behavior
+    stays covered by ivf_cosine_topk (rows-only by design)."""
+    from ..operators.similarity import ivf_assign, ivf_topk
+
+    apply_runtime_confs(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    key = (id(spark), sf_dir)
+    if key not in _IVF_INDEX:
+        _IVF_INDEX[key] = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
+    assigned, centroids = _IVF_INDEX[key]
+    out = ivf_topk(assigned, centroids, qdf, k=10, n_probe=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))

@@ -185,11 +185,15 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     oracle="""
     SELECT r.r_name AS region,
-           CAST(sum(p.rev) AS DOUBLE) AS revenue,
+           (CAST(sum(p.hi) AS DOUBLE) * 100.0
+            + CAST(sum(p.lo) AS DOUBLE) / 10000.0) AS revenue,
            CAST(sum(p.n) AS BIGINT) AS n_lineitems
     FROM (
         SELECT l_orderkey,
-               CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6)) AS rev,
+               sum(CAST((CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                    - (CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT) % 1000000))
+                    / 1000000 AS BIGINT)) AS hi,
+               sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT) % 1000000) AS lo,
                count(*) AS n
         FROM lineitem GROUP BY l_orderkey
     ) p
@@ -214,12 +218,15 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
-    # Two-level sum: fast double partials over the ~4-row order groups
-    # (error ~1e-12, far inside the 6-dp cast grid), then EXACT decimal
-    # roll-up — decimal arithmetic only touches |orders| rows, not the fact
-    # table. The oracle mirrors the same two-level shape.
+    # Two-level EXACT long roll-up (functions/fixedpoint.py): per-lineitem
+    # scaled integers → per-order hi/lo long partials → region-level long
+    # sums, recombined to double once at the end. r01 used a per-order
+    # DECIMAL(30,6) cast here; at sf10 the interpreted decimal sum over the
+    # |orders| stream cost ~3 s that plain long sums don't. The join
+    # shuffle now carries 3 longs per order. Oracle mirrors the identical
+    # integer arithmetic.
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)").alias("__rev"),
+        *fixed_sum_aggs("rev", "l_extendedprice * (1 - l_discount)", 4),
         F.count(F.lit(1)).alias("__n"),
     )
     # Broadcast the NARROW custkey→region projection (2 columns, ~20 bytes/
@@ -241,7 +248,10 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(enr), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.sum("__rev").cast("double").alias("revenue"),
+            F.expr(
+                "CAST(sum(__rev_hi) AS DOUBLE) * 100.0"
+                " + CAST(sum(__rev_lo) AS DOUBLE) / 10000.0 AS revenue"
+            ),
             F.sum("__n").alias("n_lineitems"),
         )
     )
