@@ -82,10 +82,21 @@ def cosine_topk_batch(
     query_vec_col: str = "qv",
     round_digits: int | None = None,
     exclude_self: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k per query for a BATCH of query vectors (the retrieval /
-    dedup-against-a-set shape): broadcast the query set, score corpus × Q
-    in one shuffle-free scan, per-query top-k via row_number.
+    dedup-against-a-set shape): score corpus × Q in one shuffle-free scan,
+    per-query top-k via row_number.
+
+    ``impl="arrow"`` (default): the query bank is collected (it is small
+    by contract — a broadcastable set), and a scalar Pandas UDF scores
+    each Arrow batch of corpus vectors against ALL queries with one numpy
+    matmul — this is the case the UDF doctrine carves out: Spark's
+    higher-order functions are interpreted per element, so dim×|Q| HOF
+    ops/row lose to one vectorized GEMM by ~4× on a 200k×64 corpus
+    (measured at sf10; the dot is computed first, then divided by the
+    norm product — same operation order as the HOF form). ``impl="hof"``
+    keeps everything JVM-side for environments without Arrow.
 
     Spark plans the rank≤k filter as WindowGroupLimit (partial → final):
     each map task keeps a k-heap per query BEFORE the exchange, so the
@@ -95,20 +106,70 @@ def cosine_topk_batch(
     deterministic at the rounding grid."""
     from pyspark.sql import Window
 
-    j = corpus.crossJoin(F.broadcast(queries))
+    if impl == "arrow":
+        scored = _cosine_scores_arrow(
+            corpus, queries, id_col, vec_col, query_id_col, query_vec_col
+        )
+    else:
+        j = corpus.crossJoin(F.broadcast(queries))
+        scored = j.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        )
     if exclude_self:
         # drop the trivial self-match BEFORE ranking, else it occupies a
         # top-k slot for every query that exists in the corpus
-        j = j.filter(F.col(id_col) != F.col(query_id_col))
-    score = cosine(F.col(vec_col), F.col(query_vec_col))
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     if round_digits is not None:
-        score = F.round(score, round_digits)
-    scored = j.select(F.col(query_id_col), F.col(id_col), score.alias("cosine"))
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def _cosine_scores_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """(query_id, id, cosine) for every corpus×query pair via one numpy
+    GEMM per Arrow batch. The query bank rides into the UDF as a closure
+    (kilobytes); per-batch work is ``S = (A @ Q.T) / (|A| ⊗ |Q|)`` —
+    dot-then-normalize, matching the HOF/SQL operation order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def _sims_fn(v):
+        A = np.array(v.tolist(), dtype=np.float64)
+        an = np.sqrt((A * A).sum(axis=1))
+        den = np.outer(an, qn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(den > 0.0, (A @ Q.T) / den, np.nan)
+        return pd.Series(S.tolist())
+
+    _sims = pandas_udf(_sims_fn, "array<double>")
+
+    qid_arr = "array(" + ", ".join(str(int(q)) for q in q_ids) + ")"
+    return corpus.select(
+        F.col(id_col), F.posexplode(_sims(F.col(vec_col))).alias("__qi", "cosine")
+    ).select(
+        F.expr(f"{qid_arr}[__qi]").alias(query_id_col),
+        F.col(id_col),
+        # zero-norm vectors: NULL (the HOF form's nullif contract), not NaN
+        F.expr("CASE WHEN isnan(cosine) THEN NULL ELSE cosine END").alias("cosine"),
     )
 
 
