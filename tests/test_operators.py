@@ -170,3 +170,62 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert pd.isna(o.rv)
         else:
             assert o.rv == e.rv, (e.lv, o.rv, e.rv)
+
+
+def test_portable_minhash_matches_pure_python(spark):
+    """Third-engine reproducibility: the portable family's signatures must
+    be recomputable from the documented construction (md5-prefix base +
+    minhash_coeffs) with nothing but hashlib — not just by DuckDB."""
+    import hashlib
+
+    from traderjoe_etl_spark.operators.dedup import (
+        MERSENNE31,
+        minhash_coeffs,
+        minhash_signatures,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"), (2, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(df, "doc_id", "text", hash_family="portable").collect()
+    }
+    coeffs = minhash_coeffs(64)
+    for doc_id, text in rows:
+        words = text.lower().strip().split()
+        shingles = (
+            [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+            if len(words) >= 3
+            else [" ".join(words)]
+        )
+        xs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+        expected = [min((a * x + b) % MERSENNE31 for x in xs) for a, b in coeffs]
+        assert got[doc_id] == expected, f"doc {doc_id} signature mismatch"
+
+
+def test_portable_simhash_matches_pure_python(spark):
+    """Same for the md5-family SimHash hex fingerprint."""
+    import hashlib
+
+    from traderjoe_etl_spark.operators.dedup import simhash_fingerprint
+
+    rows = [(1, "alpha beta gamma delta epsilon"), (2, "one token")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprint(df, "doc_id", "text", hash_family="md5").collect()
+    }
+    for doc_id, text in rows:
+        votes = [0] * 64
+        for tok in text.lower().strip().split():
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            chunks = [int(hx[4 * c : 4 * c + 4], 16) for c in range(4)]
+            for i in range(64):
+                bit = (chunks[i // 16] >> (i % 16)) & 1
+                votes[i] += 1 if bit else -1
+        keys = [
+            sum((1 if votes[16 * c + b] > 0 else 0) << b for b in range(16))
+            for c in range(4)
+        ]
+        expected = "".join(f"{k:04x}" for k in keys)
+        assert got[doc_id] == expected, f"doc {doc_id} fingerprint mismatch"

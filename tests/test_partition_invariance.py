@@ -18,12 +18,15 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 CASES = [
-    "pricing_summary",      # decimal exact sums over the fact table
-    "revenue_by_region",    # two-level hybrid decimal roll-up + joins
+    "pricing_summary",      # fixedpoint exact long sums over the fact table
+    "revenue_by_region",    # two-level exact long roll-up + joins
     "rollup_fees_report",   # rollup grouping sets
     "latest_deposit_per_user",  # window argmax
     "percentiles_by_flag",  # sort-based exact percentiles
     "stream_hourly_rollup", # time bucketing + aggregation
+    "minhash_near_dup",     # portable universal-hash minhash + banded LSH
+    "simhash_fingerprints",  # portable md5-chunk sign votes
+    "cosine_topk_batch",    # Arrow GEMM scoring + WindowGroupLimit
 ]
 
 
