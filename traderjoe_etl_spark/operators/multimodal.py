@@ -179,3 +179,71 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    resizer: str = "fake",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Image resize via ``mapInPandas`` (SURVEY.md §2B ◆ multimodal:
+    decode / feature-extract / RESIZE / frame-sample).
+
+    ``resizer="fake"``: deterministic nearest-neighbor stride sampling
+    treating the blob as a row-major ``meta.width × meta.height`` grayscale
+    grid (indices clamped to the blob length, mirroring ``_fake_decode``) —
+    out[j][i] = blob[min((j·sh)·W + i·sw, len−1)] with sh = max(1, H//out_h),
+    sw = max(1, W//out_w). Pure byte arithmetic, so an external engine can
+    recompute the resized bytes exactly. ``resizer="real"`` raises
+    NotImplementedError where the PIL/opencv kernel would run; the Arrow
+    batching, output schema, and partitioning are the real operator either
+    way."""
+    if resizer not in ("fake", "real"):
+        raise ValueError(f"unknown resizer {resizer!r}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                if resizer == "real":
+                    raise NotImplementedError(
+                        "real image resize requires PIL/opencv, absent in this "
+                        "environment; inject resizer='fake' or extend here"
+                    )
+                out = []
+                for blob, meta in zip(chunk["content"], chunk["meta"]):
+                    blob = blob or b"\x00"
+                    w, h = int(meta["width"]), int(meta["height"])
+                    sw, sh = max(1, w // out_w), max(1, h // out_h)
+                    n = len(blob)
+                    out.append(
+                        bytes(
+                            blob[min(j * sh * w + i * sw, n - 1)]
+                            for j in range(out_h)
+                            for i in range(out_w)
+                        )
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "width": out_w,
+                        "height": out_h,
+                        "content": out,
+                    }
+                )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

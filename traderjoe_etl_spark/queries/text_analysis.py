@@ -318,3 +318,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string")),
         ).alias("feature_csv"),
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           md5(array_to_string(
+               flatten(list_transform(range(0, 8), j ->
+                   list_transform(range(0, 8), i ->
+                       chr(ascii(substr(text,
+                           least(j * 8 * 64 + i * 8, length(text) - 1) + 1,
+                           1)))))), '')) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing end-to-end: synthesized 64×64 'images' (the
+    documents' ASCII bytes), byte-aware repartition, Arrow-batched
+    nearest-neighbor stride resize to 8×8 in mapInPandas. The fake kernel
+    is pure byte indexing (stride 8 in both axes on a 64-wide grid,
+    clamped to the blob length), so the DuckDB oracle reconstructs the
+    EXACT resized byte string with substr/chr and both engines md5 it —
+    the whole operator path is hash-verified, with only the codec itself
+    stubbed (operators/multimodal.py)."""
+    from ..operators.multimodal import media_repartition, resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    resized = resize_images(media_repartition(media), out_w=8, out_h=8)
+    return resized.select(
+        "media_id", "width", "height", F.md5("content").alias("content_md5")
+    )
