@@ -53,6 +53,12 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
         )
+        # Single-JVM joins: both sides are already in RAM and partitions
+        # are small (32 reducers), so a shuffled hash join skips the two
+        # sorts a sort-merge join pays (revenue_by_region sf10: 4.6 ->
+        # 3.3 s). On a cluster keep Spark's SMJ preference — SMJ degrades
+        # gracefully (spills) when a build side outgrows executor memory.
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     return spark
 
 
