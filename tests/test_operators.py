@@ -229,3 +229,68 @@ def test_portable_simhash_matches_pure_python(spark):
         ]
         expected = "".join(f"{k:04x}" for k in keys)
         assert got[doc_id] == expected, f"doc {doc_id} fingerprint mismatch"
+
+
+def test_rolling_hash_fingerprints_match_pure_python(spark):
+    """Third-engine reproducibility for the winnowing fingerprints: the
+    Rabin–Karp gram hashes and window minima must be recomputable from the
+    documented construction with plain Python ints."""
+    from traderjoe_etl_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        rolling_hash_fingerprints,
+    )
+
+    k, w = 8, 4
+    rows = [(1, "the quick brown fox jumps over the lazy dog"), (2, "abcdefghijk"), (3, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], list(r["fingerprints"]))
+        for r in rolling_hash_fingerprints(df, "doc_id", "text", k=k, window=w).collect()
+    }
+    assert 3 not in got  # len("short") = 5 < k + w - 1 = 11, no full window
+
+    for doc_id, text in rows:
+        if len(text) < k + w - 1:
+            continue
+        hashes = []
+        for i in range(len(text) - k + 1):
+            acc = 0
+            for ch in text[i : i + k]:
+                acc = (acc * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+            hashes.append(acc)
+        minima = sorted({min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)})
+        assert got[doc_id] == (len(hashes), minima), f"doc {doc_id} fingerprint mismatch"
+
+
+def test_rolling_hash_fingerprints_shift_invariance(spark):
+    """Winnowing's point: fingerprints of a shifted copy overlap heavily,
+    while a whole-document digest would differ completely."""
+    from traderjoe_etl_spark.operators.text import rolling_hash_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [(1, base), (2, "PREFIX >> " + base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in rolling_hash_fingerprints(df, "doc_id", "text").collect()
+    }
+    inter = got[1] & got[2]
+    assert len(inter) >= 0.8 * len(got[1]), (len(inter), len(got[1]))
+
+
+def test_frame_sample_plan_edges(spark):
+    """Inclusive-end sequence semantics: duration 0 yields one frame at 0;
+    duration exactly on the stride does not emit a frame at `duration`."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.multimodal import frame_sample_plan
+
+    rows = [(1, "video", 0), (2, "video", 1000), (3, "video", 2500), (4, "image", 9999)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, duration_ms int").select(
+        "media_id", "kind", F.struct(F.col("duration_ms")).alias("meta")
+    )
+    got = {}
+    for r in frame_sample_plan(df, every_ms=1000).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_ms"])
+    assert got == {1: [0], 2: [0], 3: [0, 1000, 2000]}

@@ -92,6 +92,72 @@ def doc_fingerprint(text_col: str | Column, window: int = 8, hash_fn: str = "xxh
     return F.array_min(shingle_hashes)
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647  # 2^31 − 1, Mersenne prime
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints over a Rabin–Karp rolling hash
+    (SURVEY.md §2B ◆ document fingerprinting).
+
+    The classic winnowing scheme: hash every ``k``-char gram with the
+    polynomial rolling hash h_i = Σ c_{i+j}·B^{k−1−j} mod M (B=257,
+    M=2^31−1 over code points), then keep the MINIMUM hash of every
+    ``window`` consecutive grams; the sorted distinct minima are the
+    document's fingerprint set — stable under local edits and position
+    shifts, unlike a whole-document digest.
+
+    Engine-portable by construction: pure modular integer arithmetic, so
+    any engine recomputes identical fingerprints (the DuckDB oracle in
+    queries/text_analysis.py replays it value-for-value).
+
+    Plan shape: all JVM higher-order functions — the scan never leaves
+    whole-stage codegen. The code-point array and the gram-hash array are
+    each pre-projected into their own select: HOF lambdas are not CSE'd,
+    so inlining them would recompute the array per gram / per window.
+    The expression form is O(n·k) work per document; if ``k`` grows large
+    the O(n) rolling update (h ← (h·B + c_in − c_out·B^k) mod M) drops
+    into a vectorized Pandas UDF with byte-identical outputs — the values
+    are defined by the scheme, not the loop shape.
+
+    Documents shorter than ``k + window − 1`` chars carry no full window
+    and are filtered out (mirror the predicate in any oracle).
+    """
+    c = F.col(text_col)
+    b, m = F.lit(ROLLING_BASE).cast("long"), F.lit(ROLLING_MOD).cast("long")
+    with_codes = df.filter(F.length(c) >= k + window - 1).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda p: F.ascii(F.substring(c, p, 1)).cast("long"),
+        ).alias("codes"),
+    )
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("codes") - (k - 1)),
+        lambda i: F.aggregate(
+            F.slice("codes", i, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * b + x) % m,
+        ),
+    )
+    with_hashes = with_codes.select(F.col(id_col), gram_hashes.alias("gram_hashes"))
+    window_minima = F.transform(
+        F.sequence(F.lit(1), F.size("gram_hashes") - (window - 1)),
+        lambda i: F.array_min(F.slice("gram_hashes", i, window)),
+    )
+    return with_hashes.select(
+        F.col(id_col),
+        F.size("gram_hashes").alias("n_grams"),
+        F.array_sort(F.array_distinct(window_minima)).alias("fingerprints"),
+    )
+
+
 def text_profile(
     df: DataFrame, id_col: str, text_col: str, fingerprint_hash: str = "xxhash64"
 ) -> DataFrame:

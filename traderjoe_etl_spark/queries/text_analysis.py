@@ -360,3 +360,101 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "media_id", "width", "height", F.md5("content").alias("content_md5")
     )
+
+
+def _rolling_fp_oracle(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of operators.text.rolling_hash_fingerprints: replay the
+    Rabin–Karp polynomial hash (list_reduce with a BIGINT accumulator — the
+    INT32 path overflows at B=257) and the winnowing window minima, then md5
+    the comma-joined sorted-distinct fingerprint set on both sides.
+    DuckDB's list_slice is inclusive-of-end, vs Spark's slice(start, len)."""
+    b, m = 257, 2_147_483_647
+    return f"""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                   p -> CAST(ascii(substr(text, CAST(p AS INT), 1)) AS BIGINT)) AS cs
+        FROM documents
+        WHERE length(text) >= {k + window - 1}
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(cs) - {k - 1} + 1),
+                   i -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_slice(cs, CAST(i AS INT), CAST(i + {k - 1} AS INT))),
+                            (acc, x) -> (acc * {b} + x) % {m})) AS gh
+        FROM codes
+    ),
+    wins AS (
+        SELECT doc_id, len(gh) AS n_grams,
+               list_sort(list_distinct(
+                   list_transform(range(1, len(gh) - {window - 1} + 1),
+                       i -> list_min(list_slice(gh, CAST(i AS INT),
+                                                CAST(i + {window - 1} AS INT)))))) AS fps
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INT) AS n_grams,
+           CAST(len(fps) AS INT) AS n_fps,
+           fps[1] AS fp_min,
+           md5(array_to_string(fps, ',')) AS fp_md5
+    FROM wins
+    """
+
+
+@query("rolling_hash_fingerprints", oracle=_rolling_fp_oracle())
+def rolling_hash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints over a Rabin–Karp rolling hash (operators/
+    text.py:rolling_hash_fingerprints): every 8-char gram hashed with the
+    B=257 / M=2^31−1 polynomial, minima over 4-gram windows, sorted distinct
+    set per document. Portable modular arithmetic, so the oracle recomputes
+    the exact fingerprint sets; both engines md5 the joined set so the full
+    value vector is hash-verified without shipping wide rows."""
+    from ..operators.text import rolling_hash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = rolling_hash_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        F.size("fingerprints").alias("n_fps"),
+        F.element_at("fingerprints", 1).alias("fp_min"),
+        F.md5(F.concat_ws(",", F.transform("fingerprints", lambda h: h.cast("string")))).alias(
+            "fp_md5"
+        ),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, greatest(length(text) * 10, 1), 1000)) AS INT) AS frame_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py:
+    frame_sample_plan): synthesize video rows with duration_ms = 10·n_chars,
+    explode a frame timeline every 1000 ms — the per-frame decode is the
+    stubbed step; the explode/partition shape is the operator. Spark's
+    sequence(0, d−1, 1000) is inclusive-of-end; DuckDB's range(0, d, 1000)
+    is exclusive — same values, with greatest(d, 1) covering the d=0
+    single-frame edge on the oracle side."""
+    from ..operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.length("text") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
