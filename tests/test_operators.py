@@ -294,3 +294,21 @@ def test_frame_sample_plan_edges(spark):
     for r in frame_sample_plan(df, every_ms=1000).collect():
         got.setdefault(r["media_id"], []).append(r["frame_ms"])
     assert got == {1: [0], 2: [0], 3: [0, 1000, 2000]}
+
+
+def test_minhash_pair_strategies_identical(spark, docs):
+    """bucket_agg (one-pass array-combination expansion) and self_join (the
+    classic band-bucket equi-join) must emit the exact same candidate pairs
+    and shared-band counts."""
+    from traderjoe_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    def pairs(strategy):
+        return {
+            (r.id_a, r.id_b): r.n_bands_shared
+            for r in minhash_lsh_candidates(
+                docs, "doc_id", "text", pair_strategy=strategy
+            ).collect()
+        }
+
+    a, b = pairs("bucket_agg"), pairs("self_join")
+    assert a == b and len(a) > 0

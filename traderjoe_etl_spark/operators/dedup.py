@@ -171,16 +171,31 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     hash_family: str = "xxhash64",
+    pair_strategy: str = "bucket_agg",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     signature (num_hashes mins) → ``bands`` bands of ``num_hashes/bands``
-    values → hash each band → explode → self-join on (band_idx, band_hash)
-    with ``id_a < id_b``. Two docs collide in ≥1 band ⇒ candidate pair.
-    With 64 hashes / 16 bands (r=4): P(collide) ≈ 1-(1-j⁴)¹⁶ — steep around
-    Jaccard ≈ 0.5.
+    values → hash each band → explode → same-bucket pair generation.
+    Two docs collide in ≥1 band ⇒ candidate pair. With 64 hashes / 16
+    bands (r=4): P(collide) ≈ 1-(1-j⁴)¹⁶ — steep around Jaccard ≈ 0.5.
 
-    The join key is (band_idx, band_hash) so only same-bucket docs meet —
+    ``pair_strategy="bucket_agg"`` (default): ONE pass — group band
+    entries by (band_idx, band_hash), sort-collect the bucket's doc ids,
+    expand ordered pairs with an array-combination HOF, count bands per
+    pair. The signature pipeline runs exactly once with a single consumer,
+    so no persist/localCheckpoint lifecycle is needed and the shuffle
+    carries one (band, hash, id) row per entry instead of two join sides.
+
+    ``pair_strategy="self_join"``: the classic band-bucket equi-join.
+    Identical output. Both strategies share the same skew ceiling — a
+    degenerate bucket of M near-identical docs yields M·(M−1)/2 pairs
+    whether expanded in one task (bucket_agg) or hashed to one reducer
+    (self_join); corpora with huge boilerplate-duplicate groups should cap
+    or pre-collapse exact dups (dedup_exact) first.
+
+    In the self_join form the join key is (band_idx, band_hash) so only
+    same-bucket docs meet —
     the all-pairs O(n²) product never materializes. Returns distinct
     (id_a, id_b, n_bands_shared).
     """
@@ -212,6 +227,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("__id", "band.band_idx", "band.band_hash")
+    if pair_strategy == "bucket_agg":
+        # sort_array pins collect_list's nondeterministic order; pairing
+        # each id with only its successors yields id_a < id_b exactly once.
+        buckets = (
+            band_entries.groupBy("band_idx", "band_hash")
+            .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pairs = buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b")
+        return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    if pair_strategy != "self_join":
+        raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     # The self-join consumes band_entries twice; without persistence Spark
     # recomputes the whole signature pipeline per side. Persist is SCOPED:
     # the result is eagerly materialized (localCheckpoint truncates its
