@@ -460,3 +460,99 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.countDistinct("c_custkey").alias("n_keys"),
     )
+
+
+def _curation_oracle() -> str:
+    """DuckDB twin of the corpus-curation composite: the same synthetic
+    dup injection, md5-group exact dedup with min-id representatives,
+    token/length quality gate, stopword-vote language ID (shared CASE from
+    text_analysis), and the final per-language accounting rollup."""
+    from .text_analysis import _lang_score_case
+
+    score_exprs, case = _lang_score_case()
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    winners AS (
+        SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM corpus GROUP BY 1
+    ),
+    reps AS (
+        SELECT c.doc_id, c.text, w.n_copies
+        FROM corpus c JOIN winners w ON c.doc_id = w.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, n_copies,
+           {score_exprs},
+           length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+        FROM reps
+    ),
+    kept AS (
+        SELECT *, {case} AS lang_detected
+        FROM scored
+        WHERE n_tokens >= 10
+          AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12
+    )
+    SELECT lang_detected,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_copies_collapsed,
+           CAST(sum(n_tokens) AS BIGINT)     AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE) / n_tokens), 4) AS avg_token_len
+    FROM kept GROUP BY 1
+    """
+
+
+@query("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE lazy DAG — the composition a
+    training-data pipeline actually runs, built from the engine's own
+    operators: exact dedup (16-byte md5 keys shuffle, min-id winners,
+    id join-back — never the corpus bytes), token/length quality gate,
+    stopword-vote language ID, per-language accounting rollup.
+
+    The testdata corpus has no exact duplicate texts, so a deterministic
+    dup set is injected first (key-shifted copies of every 7th doc,
+    mirrored in the oracle) — the dedup stage provably collapses
+    something, rather than passing vacuously on already-unique data.
+
+    Scale shape: the only wide shuffles are the md5-group (16-byte keys)
+    and the id join-back; scoring and language ID are map-side column
+    expressions; the final rollup is a partial-agg over a handful of
+    language keys."""
+    from ..operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    winners = (
+        corpus.select("doc_id", F.md5("text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    reps = corpus.join(winners, "doc_id")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    scored = reps.select(
+        "doc_id",
+        "n_copies",
+        lang_id("text").alias("lang_detected"),
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    ratio = F.col("n_chars").cast("double") / F.col("n_tokens")
+    kept = scored.filter((F.col("n_tokens") >= 10) & (ratio >= 2) & (ratio <= 12))
+    return kept.groupBy("lang_detected").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).alias("n_dup_copies_collapsed"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")), 4).alias(
+            "avg_token_len"
+        ),
+    )
