@@ -608,6 +608,42 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(json_extract(props, '$.k')) AS INT) AS min_k,
+           CAST(max(json_extract(props, '$.k')) AS INT) AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get``
+    extractions — the at-scale answer to JSON columns, where repeated
+    ``get_json_object`` calls would re-parse the string per access. One
+    map-side projection feeds every extraction; the shredded binary form
+    is what a 100-TB lakehouse stores instead of JSON text. The DuckDB
+    twin reads the same values through its native JSON extraction."""
+    events = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(__v, '$.k', 'int')")
+    parsed = events.select("event_type", F.parse_json("props").alias("__v")).select(
+        "event_type", k.alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0)).alias("n_odd_k"),
+    )
+
+
+@query(
     "orders_by_month",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
