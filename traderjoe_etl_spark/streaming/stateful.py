@@ -19,6 +19,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = "user_id long, net_value double, n_events long"
 STATE_SCHEMA = "net double, n long"
@@ -51,4 +52,46 @@ def running_position_tracker(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _PositionProcessor(StatefulProcessor):
+    """transformWithStateInPandas form of the position tracker (the Spark 4
+    successor API to applyInPandasWithState): per-key ValueState holds the
+    same (net, n) tuple; handleInputRows folds each Arrow batch and emits
+    the updated position."""
+
+    def init(self, handle):
+        self._state = handle.getValueState("pos", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        prior = self._state.get() if self._state.exists() else None
+        net, n = prior if prior is not None else (0.0, 0)
+        for pdf in rows:
+            sign = pdf["event_type"].map(
+                lambda t: 1.0 if t == "purchase" else -1.0 if t == "error" else 0.0
+            )
+            net += float((pdf["value"] * sign).sum())
+            n += int(len(pdf))
+        self._state.update((net, n))
+        yield pd.DataFrame({"user_id": [key[0]], "net_value": [net], "n_events": [n]})
+
+    def close(self):
+        pass
+
+
+def running_position_tracker_tws(events: DataFrame) -> DataFrame:
+    """Same semantics as :func:`running_position_tracker`, expressed in the
+    transformWithStateInPandas API (Spark 4's StatefulProcessor): typed
+    per-key ValueState instead of the GroupState tuple, explicit time-mode,
+    and room for timers/TTL that the older API lacks. Both forms are tested
+    against the identical batch fold — the state contract, not the API, is
+    the operator."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_PositionProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
