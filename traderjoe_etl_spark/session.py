@@ -59,6 +59,14 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         # 3.3 s). On a cluster keep Spark's SMJ preference — SMJ degrades
         # gracefully (spills) when a build side outgrows executor memory.
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        # A broadcast in a single JVM is one in-process hash relation, not
+        # a per-executor network copy — so the 10 MB default is far too
+        # shy here. 64 MB lets AQE convert mid-size joins (e.g. the
+        # per-order ⋈ orders stage at sf1: 24 MB post-pruning) to
+        # map-side BHJ (revenue_by_region sf1: 1.73 → 1.47 s). On a
+        # cluster the default stands — broadcast cost there scales with
+        # executor count.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     return spark
 
 
