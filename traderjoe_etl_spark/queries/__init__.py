@@ -55,6 +55,7 @@ def load_all() -> None:
         reference_semantics,
         relational,
         stateful_queries,
+        subquery_shapes,
         tpch_shapes,
         text_analysis,
         udf_surface,

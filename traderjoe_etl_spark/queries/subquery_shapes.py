@@ -1,0 +1,529 @@
+"""Subquery / decorrelation shapes (TPC-H Q4/Q11/Q13/Q14/Q15/Q16/Q17/Q18/Q21/Q22
+analogs adapted to the testdata star schema — no partsupp/commitdate columns).
+
+These close the one relational-surface gap left after rounds 1-2: correlated
+and uncorrelated subqueries — EXISTS / NOT EXISTS, null-aware NOT IN, IN over
+an aggregated subquery (HAVING), and scalar subqueries — plus the disjunctive
+pushdown and conditional-aggregation shapes.
+
+Two deliberate implementation styles:
+
+- ``spark.sql`` with real subqueries (q4, q16, q17-oracle-twin form): Catalyst
+  *decorrelates* — EXISTS becomes a left semi join, single-column NOT IN
+  becomes a null-aware anti join (NAAJ), a correlated scalar aggregate becomes
+  an aggregated-then-joined subtree. The SQL surface is part of the engine's
+  API; these prove it plans scale-correct shapes (verify via .explain).
+- DataFrame-side manual decorrelation (q18, q21, q22, q15, q11): the explicit
+  aggregate-then-semi/anti-join form a pipeline author writes when they want
+  the join strategy visible (broadcast the aggregated small side).
+
+Scale notes: every subquery here aggregates BEFORE joining, so the shuffle
+carries |groups| not |fact|; per-order/per-part aggregates are tiny relative
+to lineitem and broadcast; scalar subqueries reduce to one row and broadcast
+as literals. No correlated per-row re-execution exists anywhere (that is the
+point of decorrelation).
+
+Reference parity: the reference (main.py) has no subqueries — this is §2B
+"generalized engine surface" breadth, same category as the Q3/Q10 shapes in
+tpch_shapes.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.fixedpoint import (
+    fixed_sum_aggs,
+    fixed_sum_sql,
+    fixed_sum_value,
+    fixed_sum_value_sql,
+)
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views for spark.sql queries."""
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# EXISTS → left semi join (Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exists_priority_counts_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_priority_counts_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, expressed as actual SQL so Catalyst
+    decorrelates it. The plan is scan(orders, date pushdown) ⋈semi
+    scan(lineitem, returnflag pushdown) on orderkey → partial+final count.
+    The semi join shuffles only the two filtered key columns — at 100 TB the
+    exchange carries orderkeys, not rows."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN → NAAJ (Q16 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "notin_supplier_variety_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): single-column
+    NOT IN over a subquery. Spark plans this as a null-aware anti join
+    (NAAJ, broadcast) — the semantics (whole result empties if the subquery
+    yields a NULL) cannot be written as a plain anti join. The excluded-
+    supplier list is tiny and broadcasts; part is a broadcast dim; the only
+    shuffle is the distinct-count aggregate on (brand, type, size)."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar aggregate (Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "correlated_avg_small_orders_q17",
+    oracle=f"""
+    SELECT round({fixed_sum_sql("l_extendedprice", 2)} / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def correlated_avg_small_orders_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-row comparison against a correlated per-part
+    average. Decorrelated by hand on the engine side: ONE pass computes
+    per-part avg(quantity) (60k-row shuffle → |parts| rows), which then
+    broadcasts back onto lineitem — versus the naive correlated form that
+    re-scans lineitem per row. avg(qty) is a sum of small integers in double
+    (exact, order-independent), so the 0.2·avg threshold is bit-identical
+    across engines and the filter is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part.withColumnRenamed("l_partkey", "pp_partkey")),
+              F.col("l_partkey") == F.col("pp_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(*fixed_sum_aggs("total", "l_extendedprice", 2))
+        .select(F.expr(f"round({fixed_sum_value_sql('total', 2)} / 7.0, 2) AS avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN over aggregated subquery / HAVING (Q18 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "having_in_large_orders_q18",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o.o_totalprice,
+           CAST(sq.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) sq
+      ON sq.l_orderkey = o.o_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def having_in_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: `o_orderkey IN (SELECT … HAVING sum > 300)`,
+    decorrelated to aggregate-then-join. sum(l_quantity) partial-aggregates
+    map-side; the >300 filter drops ~99.7% of orders BEFORE the join, so the
+    join probe side is tiny (46 orders at sf0.01) and broadcasts. Quantities
+    are small integers — double sums are exact, the 300 threshold and the
+    output value are engine-stable."""
+    large = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(large), orders.o_orderkey == large.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS + NOT EXISTS on the same fact (Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exists_sole_blame_suppliers_q21",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (returnflag stands in for receipt-late): keep 'R'
+    lines whose order has OTHER suppliers (EXISTS) but no OTHER supplier
+    with an 'R' line (NOT EXISTS). The correlated pair decorrelates into ONE
+    per-order aggregate — n_suppliers, n_r_suppliers, and (to make
+    "other supplier with R" exact when the candidate itself is the R one)
+    the single r-supplier key — joined back broadcast. One lineitem
+    aggregation replaces two correlated re-scans; the classic manual
+    rewrite of the worst query in TPC-H."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_r_supp"),
+        F.min(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("one_r_supp"),
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    cand = li.filter(F.col("l_returnflag") == "R")
+    return (
+        cand.join(F.broadcast(per_order), cand.l_orderkey == per_order.po_orderkey)
+        # other suppliers exist on the order…
+        .filter(F.col("n_supp") > 1)
+        # …and no OTHER supplier has an R line: either this line's supplier is
+        # the only R supplier, i.e. n_r_supp == 1 and it is this supplier.
+        .filter((F.col("n_r_supp") == 1) & (F.col("one_r_supp") == F.col("l_suppkey")))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery + anti join (Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_anti_dormant_wealthy_q22",
+    oracle="""
+    SELECT n.n_name, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def scalar_anti_dormant_wealthy_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global positive-balance
+    average) + NOT EXISTS anti join (no recent orders). The scalar reduces to
+    one row and joins as a broadcast nested loop (a literal at scale); the
+    anti join shuffles only custkeys of recent orders. acctbal is 2-dp money:
+    sum of exact 2-dp doubles ~1e3 rows is within 1e-9 of the grid, rounded
+    identically on both engines.
+
+    avg threshold note: avg(c_acctbal) = exact-sum / count only when the sum
+    is order-independent — 2-dp values are NOT exactly representable, so the
+    engine computes the threshold via the same sum(…)/count shape DuckDB
+    uses; both engines sum the identical doubles in any order within 1e-10
+    of each other, and no customer balance sits that close to the threshold
+    (min gap is ~0.01)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar max over an aggregated view (Q15 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_revenue_suppliers_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_suppliers_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a view aggregated from the fact, re-used both for the
+    scalar MAX subquery and the final join — classic "argmax against a
+    derived relation". Revenue uses exact DECIMAL sums so the equality
+    against max() is well-defined cross-engine (double sums would make
+    `=` flaky); decimal cost is irrelevant at |suppliers| rows. The per-
+    supplier aggregate is computed once (cached lineage is tiny), max() is a
+    1-row broadcast, supplier is a broadcast dim — no extra fact scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"))
+            .alias("rev_dec")
+        )
+    )
+    mx = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group HAVING vs global scalar fraction (Q11 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "having_value_parts_q11",
+    oracle="""
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(30,6)))
+         > 0.0007 * (SELECT sum(CAST(l_extendedprice AS DECIMAL(30,6))) FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def having_value_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value compared against a fraction of the
+    global total (uncorrelated scalar aggregate). Engine computes the global
+    total by RE-AGGREGATING the per-part partials (a second tiny groupBy over
+    |parts| rows, NOT a second fact scan) and broadcasts the 1-row result.
+    Exact decimal sums make the 0.0007·total threshold deterministic; the
+    comparison happens in decimal before the double cast-out."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val_dec")
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec") > F.lit(0.0007).cast("decimal(10,6)") * F.col("total_dec"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-join count distribution (Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_distribution_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) sub
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def count_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts with a filtered LEFT join (the filter
+    lives in the join condition, not WHERE — customers with zero qualifying
+    orders must survive with c_count=0). First agg groups on custkey (the
+    join key — reuses the exchange), second agg is over |customers| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (Q14 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "promo_revenue_q14",
+    oracle=f"""
+    SELECT round(
+             100.0 * {fixed_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+                   / {fixed_sum_sql("l_extendedprice * (1 - l_discount)", 4)}, 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: CASE-WHEN conditional aggregate ratio (promo share of
+    revenue for one ship month). part broadcasts; both sums ride the same
+    partial aggregate (one pass); fixedpoint longs keep the ratio bit-stable
+    cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            *fixed_sum_aggs("promo", promo, 4),
+            *fixed_sum_aggs("total", "l_extendedprice * (1 - l_discount)", 4),
+        )
+        .select(
+            F.expr(
+                f"round(100.0 * {fixed_sum_value_sql('promo', 4)}"
+                f" / {fixed_sum_value_sql('total', 4)}, 4) AS promo_revenue_pct"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive predicate pushdown (Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "disjunctive_revenue_q19",
+    oracle=f"""
+    SELECT {fixed_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctions spanning both join sides. Catalyst
+    factors the single-table conjuncts out of the disjunction and pushes
+    them to the scans (part: brand IN (…); lineitem: quantity ranges) so the
+    join inputs shrink before the broadcast hash join; the residual mixed
+    predicate evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(*fixed_sum_aggs("revenue", "l_extendedprice * (1 - l_discount)", 4))
+        .select(fixed_sum_value("revenue", 4))
+    )
