@@ -458,3 +458,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return frame_sample_plan(media, every_ms=1000)
+
+
+_DEDUP_CLUSTERS_ORACLE = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')]
+               END AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(a.s || b.s)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    r(node, m) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.m
+    ),
+    comp AS (SELECT node, min(m) AS canonical FROM r GROUP BY node),
+    sizes AS (SELECT canonical, count(*) AS cluster_size FROM comp GROUP BY canonical)
+    SELECT c.node AS doc_id, c.canonical AS canonical_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (canonical)
+"""
+
+
+@query("dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline END: near-dup pairs (LSH candidates verified at
+    exact Jaccard ≥ 0.8, same definition as ngram_jaccard_near_dups) →
+    connected components (operators/graph.py large-star/small-star) →
+    (doc_id, canonical_id, cluster_size) cluster assignments. A curation
+    job keeps `doc_id = canonical_id` rows and drops the rest.
+
+    The oracle recomputes the ENTIRE pipeline independently: brute-force
+    all-pairs Jaccard + a recursive-CTE transitive closure with min-label
+    components — so the hash match proves the distributed star-contraction
+    algorithm produces exactly the textbook components. The engine side
+    never materializes the O(n²) pair product nor the closure; components
+    converge in O(log² n) two-aggregate rounds."""
+    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    from ..operators.graph import dedup_cluster_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+    return dedup_cluster_assignments(near, "id_a", "id_b")
