@@ -18,10 +18,16 @@ from pyspark.sql import SparkSession
 # settable on a live session.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS) which the Spark reader rejects;
-    # read as long and convert in sources.tables (DuckDB truncates nanos to
-    # micros the same way, so oracle comparisons stay aligned).
+    # Older driver testdata carried TIMESTAMP(NANOS) which the Spark reader
+    # rejects; read as long and convert in sources.tables (DuckDB truncates
+    # nanos to micros the same way, so oracle comparisons stay aligned).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamp[us] with isAdjustedToUTC=false would otherwise read
+    # as TIMESTAMP_NTZ (Spark 4 default) — NTZ can't cast to numeric and
+    # diverges from the UTC TimestampType the whole query surface (and the
+    # DuckDB oracle comparison) assumes. Plain TimestampType + UTC session
+    # tz is value-identical to DuckDB's naive reading of the same file.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -53,6 +53,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver-built sessions don't run session.apply_runtime_confs; pin the
+    # timestamp reading mode here too so timestamp[us] parquet columns come
+    # back as TimestampType (UTC), never TIMESTAMP_NTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (sf_dir, name)
     cached = _SCHEMA_CACHE.get(key)
