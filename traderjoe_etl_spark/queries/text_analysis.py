@@ -521,3 +521,125 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(docs, "doc_id", "text")
     near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
     return dedup_cluster_assignments(near, "id_a", "id_b")
+
+
+@query(
+    "pii_redaction",
+    oracle=r"""
+    WITH synth AS (
+        SELECT c_custkey,
+               'reach ' || c_name || ' at ' || lower(replace(c_name, '#', '.'))
+                   || '@example.com or call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   || ' re account ' || CAST(floor(c_acctbal) AS INTEGER) AS raw
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(raw,
+               '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(length(raw) - length(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '', 'g')) > 0 AS INT)
+               AS had_email,
+           CAST(length(raw) - length(regexp_replace(raw, '[0-9]{3}-[0-9]{4}', '', 'g')) > 0 AS INT)
+               AS had_phone
+    FROM synth
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training-data pipelines: regexp_replace-based
+    email/phone redaction plus per-row detection flags. Runs on text
+    synthesized deterministically from the customer table (the synthetic
+    documents corpus carries no PII-shaped strings), so the oracle
+    replays the exact same redaction. Pure JVM scalar expressions — no
+    UDF, fully pipelined inside one WholeStageCodegen over the scan; the
+    regex patterns stay in the RE2/Java-regex common subset so both
+    engines agree byte-for-byte."""
+    cust = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re account "), F.floor("c_acctbal").cast("int").cast("string"),
+    )
+    email, phone = r"[a-z0-9.]+@[a-z0-9.]+", r"[0-9]{3}-[0-9]{4}"
+    synth = cust.select("c_custkey", raw.alias("raw"))
+    return synth.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        (F.length("raw") - F.length(F.regexp_replace("raw", email, "")) > 0)
+        .cast("int")
+        .alias("had_email"),
+        (F.length("raw") - F.length(F.regexp_replace("raw", phone, "")) > 0)
+        .cast("int")
+        .alias("had_phone"),
+    )
+
+
+@query(
+    "repetition_scores",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, w,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        FROM toks
+        WHERE len(w) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           round(CAST(list_max(list_transform(list_distinct(w),
+                     t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w), 6)
+               AS top_unigram_frac,
+           round(CAST(list_max(list_transform(list_distinct(bg),
+                     t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / len(bg), 6)
+               AS top_bigram_frac
+    FROM grams
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-document fraction of
+    tokens taken by the most frequent unigram and bigram (high values =
+    boilerplate/degenerate text a curation pipeline drops).
+
+    Engine shape: explode each n-gram stream once, two-level partial
+    aggregate — count per (doc, gram), then max/sum per doc — so the
+    shuffle carries gram counts, never documents, and skewed giant
+    documents parallelize across their grams (the oracle's per-row
+    quadratic list scan is exactly the non-distributed form this
+    replaces). Unigram and bigram branches reuse one tokenized scan and
+    rejoin on doc_id (co-partitioned: both aggregates hash on doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2)
+    toks = toks.select(
+        "doc_id",
+        "w",
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ).alias("bg"),
+    )
+
+    def top_frac(col: str, out: str) -> DataFrame:
+        return (
+            toks.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+                ).alias(out)
+            )
+        )
+
+    uni = top_frac("w", "top_unigram_frac")
+    bi = top_frac("bg", "top_bigram_frac")
+    base = toks.select("doc_id", F.size("w").alias("n_tokens"))
+    return base.join(uni, "doc_id").join(bi, "doc_id")
