@@ -180,3 +180,80 @@ def pandas_udf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("counts")
     )
     return counts.select("user_id", F.round(gini_impurity("counts"), 6).alias("gini"))
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6)       AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+           round(covar_pop(l_extendedprice, l_quantity), 4)  AS covar_p,
+           round(stddev_samp(l_discount), 6)                 AS sd_discount,
+           round(var_pop(l_discount), 6)                     AS var_discount,
+           round(CAST(median(l_quantity) AS DOUBLE), 4)      AS med_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)    AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, sample/population
+    covariance, stddev/variance, exact median, and the regr_* linear
+    regression family — all JVM partial-aggregate built-ins (each is a
+    constant-size moment sketch per group; the shuffle carries one row
+    per (group, aggregate), so this scales like any hash aggregate).
+    median is the one exception: exact-sort based in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("covar_p"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_pop("l_discount"), 6).alias("var_discount"),
+        F.round(F.median("l_quantity").cast("double"), 4).alias("med_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@query(
+    "bag_set_ops",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+         ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM (
+        SELECT * FROM hi INTERSECT ALL SELECT * FROM ur
+    ) GROUP BY o_custkey
+    UNION ALL
+    SELECT 'except_all' AS op, o_custkey, count(*) AS n FROM (
+        SELECT * FROM hi EXCEPT ALL SELECT * FROM ur
+    ) GROUP BY o_custkey
+    """,
+)
+def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) semantics set ops — intersectAll/exceptAll keep
+    duplicate multiplicity (min / difference of per-key counts), unlike
+    the DISTINCT forms covered by intersect_except_nations. Both compile
+    to a single aggregate over a union with per-side counts — no O(n²)
+    anti-join; the follow-up count-rollup makes the result deterministic
+    regardless of which physical duplicate survives."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    ur = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = (
+        hi.intersectAll(ur)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    only_hi = (
+        hi.exceptAll(ur)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return both.unionByName(only_hi)

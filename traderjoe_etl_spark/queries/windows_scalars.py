@@ -198,3 +198,114 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("view", "click", "purchase", "signup", "error")],
     )
+
+
+@query(
+    "distribution_windows",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w  AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank/cume_dist plus
+    first/nth/last_value with an explicit unbounded ROWS frame (the
+    default frame stops at CURRENT ROW, which makes last_value a no-op;
+    the explicit frame is the meaningful — and portable — form). Ordering
+    includes the unique orderkey so every rank is deterministic. One sort
+    per partition serves all five functions (single Window exchange)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )
+
+
+@query(
+    "gap_fill_hourly",
+    oracle="""
+    WITH hours AS (
+        SELECT user_id, unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS hour
+        FROM (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS h_min,
+                   date_trunc('hour', max(ts)) AS h_max
+            FROM events GROUP BY user_id
+        )
+    ),
+    actual AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               round(sum(value), 4) AS hour_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT h.user_id,
+           strftime(h.hour, '%Y-%m-%d %H:00') AS hour,
+           CAST(a.hour_value IS NOT NULL AS INT) AS observed,
+           coalesce(a.hour_value,
+                    last_value(a.hour_value IGNORE NULLS) OVER (
+                        PARTITION BY h.user_id ORDER BY h.hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS filled_value
+    FROM hours h LEFT JOIN actual a ON a.user_id = h.user_id AND a.hour = h.hour
+    """,
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (the hypertable rollup
+    pattern): per-user dense hourly spine generated with
+    sequence()/explode (distributed — each user's spine materializes on
+    its own partition, never on the driver), left join of the actual
+    hourly rollup, then last_value(IGNORE NULLS) to carry observations
+    forward across the gaps. Spine join and rollup both hash on user_id,
+    so the join is co-partitioned with the window that follows."""
+    events = _t(spark, sf_dir, "events")
+    spine = (
+        events.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h_min"),
+            F.date_trunc("hour", F.max("ts")).alias("h_max"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    actual = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum("value"), 4).alias("hour_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("hour_value").isNotNull().cast("int").alias("observed"),
+            F.coalesce(
+                "hour_value", F.last("hour_value", ignorenulls=True).over(w)
+            ).alias("filled_value"),
+        )
+    )
