@@ -556,3 +556,82 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_token_len"
         ),
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    rng AS (
+        SELECT vec_id, ve, list_min(ve) AS lo,
+               (list_max(ve) - list_min(ve)) / 255.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, lo, scale,
+               list_transform(ve, x -> CAST(floor((x - lo) / scale + 0.5) AS BIGINT)) AS qv,
+               ve
+        FROM rng
+    )
+    SELECT vec_id,
+           round(lo, 6) AS q_min,
+           round(scale, 8) AS q_scale,
+           md5(array_to_string(qv, ',')) AS codes_md5,
+           round(sqrt(list_sum(list_transform(
+                     list_zip(ve, qv),
+                     p -> pow(p[1] - (lo + p[2] * scale), 2))) / len(ve)), 8)
+               AS rmse
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embedding vectors (the storage/ANN
+    compression step of a 100-TB vector pipeline: 4 bytes/dim float32 →
+    1 byte/dim + two floats per vector). Per-vector min/max range, code
+    = floor((x−min)/scale + 0.5) (explicit half-up — Spark round() and
+    DuckDB round() disagree on .5 ties), md5 over the code string so the
+    full code vector is hash-verified, plus reconstruction RMSE. All JVM
+    higher-order functions (transform/aggregate/zip_with) — map-only, no
+    shuffle, no Python in the row path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", ve.alias("ve"))
+    rng = v.select(
+        "vec_id",
+        "ve",
+        F.array_min("ve").alias("lo"),
+        ((F.array_max("ve") - F.array_min("ve")) / F.lit(255.0)).alias("scale"),
+    )
+    q = rng.select(
+        "vec_id",
+        "lo",
+        "scale",
+        "ve",
+        F.transform(
+            "ve", lambda x: F.floor((x - F.col("lo")) / F.col("scale") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    sq_err = F.zip_with(
+        "ve",
+        "qv",
+        lambda x, c: F.pow(x - (F.col("lo") + c * F.col("scale")), F.lit(2)),
+    )
+    return q.select(
+        "vec_id",
+        F.round("lo", 6).alias("q_min"),
+        F.round("scale", 8).alias("q_scale"),
+        F.md5(F.concat_ws(",", F.transform("qv", lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        F.round(
+            F.sqrt(
+                F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("ve").cast("double")
+            ),
+            8,
+        ).alias("rmse"),
+    )

