@@ -78,14 +78,19 @@ def right_join_parts_in_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (not expressible as rollup/cube): per-flag,
-    per-status, grand total — via SQL on a temp view (Catalyst plans a
-    single Expand + aggregate pass)."""
+    per-status, grand total — via SQL on a temp view. Two-level: the
+    finest (flag, status) aggregate runs over the fact rows once; the
+    Expand (×3 grouping sets) then processes the handful of pre-summed
+    rows. Exact: l_quantity is integral, so the double partials re-sum
+    without reassociation error (and far below 2^53)."""
     li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("__li_gs")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("__q")
+    ).createOrReplaceTempView("__li_gs")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS qty,
+               round(sum(__q), 2) AS qty,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status
         FROM __li_gs

@@ -138,11 +138,24 @@ def rollup_fees_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from NULL data. Money sums via functions/fixedpoint.py (exact long
     arithmetic in codegen; see pricing_summary)."""
     li = _t(spark, sf_dir, "lineitem")
+    # Two-level rollup: aggregate to the FINEST grouping once (|flags|×
+    # |statuses| rows), then ROLLUP the long partials of that tiny result.
+    # A direct rollup Expands every fact row ×3 (one copy per grouping
+    # set) before the partial agg — 180M agg inputs at sf10; this shape
+    # feeds the Expand 6 rows instead (sf10: 1.68 → ~0.6 s). Exact
+    # because the fixed-point partials are plain longs (associative);
+    # the recombine expression is unchanged, so the oracle still matches
+    # bit-for-bit.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        *fixed_sum_aggs("total_price", "l_extendedprice", 2),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            *fixed_sum_aggs("total_price", "l_extendedprice", 2),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("__total_price_hi").alias("__total_price_hi"),
+            F.sum("__total_price_lo").alias("__total_price_lo"),
+            F.sum("__n").alias("n"),
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
@@ -168,11 +181,18 @@ def rollup_fees_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions (SURVEY.md §2B ◆)."""
+    """CUBE over two dimensions (SURVEY.md §2B ◆). Two-level: the finest
+    grouping aggregates the fact rows once, then the CUBE Expand (×4
+    grouping sets) runs over |statuses|×|priorities| pre-summed rows —
+    exact, since decimal sums are associative."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("total"),
-        F.count(F.lit(1)).alias("n"),
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("__t"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("__t").cast("double").alias("total"),
+        F.sum("__n").alias("n"),
     )
 
 
