@@ -312,3 +312,30 @@ def test_minhash_pair_strategies_identical(spark, docs):
 
     a, b = pairs("bucket_agg"), pairs("self_join")
     assert a == b and len(a) > 0
+
+
+def test_hll_sketch_mergeability(spark, sf_dir):
+    """union-of-per-group-sketches == sketch over the union, and both sit
+    within the configured relative error of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).collect()[0].e
+    direct = orders.agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")).collect()[0].e
+    exact = orders.select("o_custkey").distinct().count()
+    # union-of-sketches and direct sketch agree to within estimator noise
+    # (register layouts can differ sparse-vs-dense across merge orders)
+    assert abs(merged - direct) / exact < 0.01
+    assert abs(merged - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05
+
+
+def test_hll_sketch_rollup_query(spark, sf_dir):
+    from traderjoe_etl_spark.queries import queries
+
+    out = queries()["hll_sketch_rollup"](spark, sf_dir).collect()
+    rows = {r.o_orderpriority: r for r in out}
+    assert "ALL" in rows and len(rows) >= 5
+    detail_n = sum(r.n_orders for k, r in rows.items() if k != "ALL")
+    assert rows["ALL"].n_orders == detail_n

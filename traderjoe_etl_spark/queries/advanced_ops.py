@@ -339,3 +339,33 @@ def ivf_full_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = _IVF_INDEX[key]
     out = ivf_topk(assigned, centroids, qdf, k=10, n_probe=8)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query("hll_sketch_rollup")  # rows-only: datasketches estimates are engine-defined
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg) — THE 100-TB pattern for distinct
+    users: pre-aggregate one kilobyte-sized sketch per partition/day,
+    persist it, and answer any coarser rollup later by merging sketches
+    instead of rescanning raw data. Per-priority sketches plus the
+    merged all-priorities row computed FROM the sketches (never from the
+    fact table twice). No oracle: estimates are engine-defined; the
+    mergeability law (union-of-sketches tracks sketch-of-union within
+    estimator noise, both within rsd of exact) is pytest-asserted in
+    tests/test_operators.py."""
+    apply_runtime_confs(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    detail = per.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "n_orders",
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_orders").alias("n_orders"),
+    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_customers", "n_orders")
+    return detail.unionByName(merged)
