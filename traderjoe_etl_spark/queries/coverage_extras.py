@@ -262,3 +262,123 @@ def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_custkey", "n")
     )
     return both.unionByName(only_hi)
+
+
+@query(
+    "conditional_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT)  AS n_discounted,
+           bool_and(l_quantity > 0)                     AS all_positive_qty,
+           bool_or(l_discount > 0.09)                   AS any_deep_discount,
+           round(sum(DISTINCT l_quantity), 2)           AS sum_distinct_qty,
+           max_by(l_orderkey, l_extendedprice * 100000 + l_orderkey) AS priciest_orderkey,
+           min_by(l_orderkey, l_extendedprice * 100000 + l_orderkey) AS cheapest_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/selective aggregate surface: count_if, bool_and/or,
+    sum(DISTINCT), max_by/min_by (argmax as an aggregate, not a window).
+    The max_by ordering key folds the unique orderkey into the price so
+    ties cannot make the result engine-dependent (the key stays integral
+    and < 2^53, so the double ranking is exact). All single-pass partial
+    aggregates except sum(DISTINCT), which Spark plans as the standard
+    two-phase expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    rank = F.col("l_extendedprice") * 100000 + F.col("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.max_by("l_orderkey", rank).alias("priciest_orderkey"),
+        F.min_by("l_orderkey", rank).alias("cheapest_orderkey"),
+    )
+
+
+@query(
+    "map_collection_ops",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, CAST(month(ts) AS INT) AS mon, count(*) AS cnt
+        FROM events GROUP BY event_type, month(ts)
+    )
+    SELECT event_type,
+           CAST(count(*) AS INT) AS n_months,
+           CAST(max(CASE WHEN mon = 6 THEN cnt END) AS BIGINT) AS june_cnt,
+           string_agg(mon || '=' || cnt, ',' ORDER BY mon) AS by_month
+    FROM m
+    GROUP BY event_type
+    """,
+)
+def map_collection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: per event type, a month→count map built with
+    map_from_entries(collect_list(struct…)), probed with element_at and
+    sized with map_keys — then rendered to a sorted entries string so the
+    oracle (which has no portable MAP literal) checks the same values.
+    The map is built from pre-aggregated (type, month) counts — collect
+    over ≤12 entries per group, never over raw events."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy(
+        "event_type", F.month("ts").alias("mon")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = counts.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("mon", "cnt")))
+        ).alias("by_month_map")
+    )
+    return mapped.select(
+        "event_type",
+        F.size(F.map_keys("by_month_map")).alias("n_months"),
+        F.element_at("by_month_map", F.lit(6)).alias("june_cnt"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries("by_month_map"),
+                lambda e: F.concat_ws("=", e.key.cast("string"), e.value.cast("string")),
+            ),
+        ).alias("by_month"),
+    )
+
+
+@query(
+    "constraint_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_rows,
+           CAST(count_if(o.o_custkey IS NULL) AS BIGINT)              AS null_custkey,
+           CAST(count_if(o.o_totalprice <= 0) AS BIGINT)              AS nonpositive_price,
+           CAST(count(*) - count(DISTINCT o.o_orderkey) AS BIGINT)    AS dup_orderkeys,
+           CAST(count_if(c.c_custkey IS NULL) AS BIGINT)              AS orphan_orders,
+           count_if(o.o_custkey IS NULL) = 0
+               AND count_if(o.o_totalprice <= 0) = 0
+               AND count(*) = count(DISTINCT o.o_orderkey)
+               AND count_if(c.c_custkey IS NULL) = 0                  AS all_passed
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the validate step every ingestion pipeline runs
+    before publishing a batch): null checks, domain check, key
+    uniqueness, and referential integrity against the customer dim — ONE
+    aggregate over one broadcast-joined pass, so the gate costs a single
+    scan at any scale. Returns a one-row summary with per-constraint
+    violation counts and an overall verdict."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    )
+    null_ck = F.count_if(F.col("o_custkey").isNull())
+    nonpos = F.count_if(F.col("o_totalprice") <= 0)
+    dup = F.count(F.lit(1)) - F.count_distinct("o_orderkey")
+    orphan = F.count_if(F.col("c_custkey").isNull())
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        null_ck.alias("null_custkey"),
+        nonpos.alias("nonpositive_price"),
+        dup.alias("dup_orderkeys"),
+        orphan.alias("orphan_orders"),
+        ((null_ck == 0) & (nonpos == 0) & (dup == 0) & (orphan == 0)).alias("all_passed"),
+    )
