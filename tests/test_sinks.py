@@ -50,3 +50,45 @@ def test_csv_export_header_once(spark):
     assert lines[0] == "value,current_unix_timestamp"
     assert len(lines) == 4  # one header + three rows across two appends
     assert sum(1 for l in lines if l.startswith("value,")) == 1
+
+
+def test_clustered_write_prunes(spark, tmp_path):
+    """Range-clustered layout: per-file min/max stats must be pairwise
+    disjoint so footer-stat pruning can skip files, and a selective read
+    must push the filter down to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sinks import clustered_write
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "clustered")
+    clustered_write(events, out, "ts", n_files=8)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap - clustering broken"
+
+    back = spark.read.parquet(out)
+    lo = events.agg(F.min("ts")).collect()[0][0]
+    filtered = back.filter(F.col("ts") <= F.lit(lo))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(ts" in plan
+    assert filtered.count() >= 1
