@@ -369,3 +369,38 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders"),
     ).select(F.lit("ALL").alias("o_orderpriority"), "approx_customers", "n_orders")
     return detail.unionByName(merged)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4)   AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join (streaming/jobs.py:
+    stream_static_enrich): the events stream joins the static customer
+    dimension per micro-batch (broadcast, stateless) and rolls up per
+    (hour, tier). Drained with availableNow into a memory table; the
+    oracle is the equivalent batch join + rollup — proving the streaming
+    enrichment plan computes exactly the batch semantics."""
+    from ..streaming.jobs import stream_static_enrich
+
+    apply_runtime_confs(spark)
+    src = _events_stream(spark, sf_dir, "stream_static_")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("tier")
+    )
+    agg = stream_static_enrich(src, dim, on="user_id", agg_keys=("tier",))
+    _drain(agg, "__stream_static_enrich")
+    return spark.table("__stream_static_enrich").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "tier",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )

@@ -174,3 +174,31 @@ def hourly_snapshot_query(
     writer = snapshot_batches.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "0 seconds",
+    agg_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stream–static join + windowed rollup: each micro-batch hash-joins
+    the (small) static dimension — stateless, no join state to watermark,
+    the standard enrichment shape for reference data (user tiers, pool
+    metadata). The dim is broadcast so the stream side never shuffles
+    before its windowed aggregate."""
+    enriched = stream.join(F.broadcast(dim), on=on)
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *agg_keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *agg_keys,
+            "n",
+            "total_value",
+        )
+    )
