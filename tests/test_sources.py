@@ -77,3 +77,55 @@ def test_rpc_source_decimal_fidelity(spark):
     assert row.reserveX == Decimal(10**30)  # > float64 exact range, > int64
     assert row.shares == Decimal(2**90)
     assert row.totalShares == Decimal(2**91)
+
+
+def test_python_datasource_rest(spark):
+    """Spark-4 Python DataSource API source: registered format, declared
+    schema, deterministic fixture payload."""
+    from traderjoe_etl_spark.sources.pyds import SnapshotRestDataSource, fixture_payload
+
+    spark.dataSource.register(SnapshotRestDataSource)
+    df = (
+        spark.read.format("rest_snapshot")
+        .option("n_pools", 6)
+        .option("hours", 12)
+        .load()
+    )
+    assert df.columns == ["pool_id", "hour", "reserve_x", "reserve_y", "fees_usd"]
+    rows = df.collect()
+    assert len(rows) == 6 * 12
+    expected = {(r[0], r[1]): r for p in range(6) for r in fixture_payload(p, 12)}
+    got = {(r.pool_id, r.hour): tuple(r) for r in rows}
+    assert got == expected
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """EqualTo/In on pool_id prune source partitions BEFORE the scan."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from traderjoe_etl_spark.sources.pyds import SnapshotRestReader
+
+    r = SnapshotRestReader({"n_pools": 16, "hours": 4})
+    assert len(r.partitions()) == 16
+    leftover = list(r.pushFilters([EqualTo(("pool_id",), 3), GreaterThan(("hour",), 1)]))
+    # the hour predicate is NOT consumed (Spark evaluates it post-scan)
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    assert len(r.partitions()) == 1 and r.partitions()[0].pool_ids == [3]
+
+    r2 = SnapshotRestReader({"n_pools": 16, "hours": 4})
+    list(r2.pushFilters([In(("pool_id",), (2, 5, 7))]))
+    assert sorted(p.pool_ids[0] for p in r2.partitions()) == [2, 5, 7]
+
+    # end-to-end: the filtered read still returns exactly the pruned pool
+    from traderjoe_etl_spark.sources.pyds import SnapshotRestDataSource
+
+    spark.dataSource.register(SnapshotRestDataSource)
+    df = (
+        spark.read.format("rest_snapshot")
+        .option("n_pools", 16)
+        .option("hours", 4)
+        .load()
+        .filter("pool_id = 3 AND hour > 1")
+    )
+    out = df.collect()
+    assert {r.pool_id for r in out} == {3} and len(out) == 2
