@@ -92,3 +92,60 @@ def test_clustered_write_prunes(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThanOrEqual(ts" in plan
     assert filtered.count() >= 1
+
+
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    """Z-order layout: per-file spans of BOTH interleaved columns must be
+    materially narrower than the global span (each dimension prunes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from traderjoe_etl_spark.operators.layout import zorder_write
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.01", "events")
+    out = str(tmp_path / "zorder")
+    zorder_write(events, out, "user_id", "value", n_files=16)
+
+    def spans(col):
+        spans = []
+        glob_min, glob_max = None, None
+        for f in glob.glob(out + "/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            lo, hi = min(mins), max(maxs)
+            spans.append(hi - lo)
+            glob_min = lo if glob_min is None else min(glob_min, lo)
+            glob_max = hi if glob_max is None else max(glob_max, hi)
+        return spans, glob_max - glob_min
+
+    for col in ("user_id", "value"):
+        per_file, full = spans(col)
+        avg = sum(per_file) / len(per_file)
+        # z-order over 2 dims: each file covers a sub-rectangle; average
+        # per-file span must be well under the full span on BOTH columns
+        # (a 1D range layout would give ~full span on the other column).
+        assert avg < 0.8 * full, (col, avg, full)
+
+
+def test_compact_small_files(spark, tmp_path):
+    from traderjoe_etl_spark.operators.layout import compact_small_files
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    src = str(tmp_path / "many")
+    read_table(spark, "/root/testdata/sf0.001", "events").repartition(24).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, out, target_mb=1)
+    import glob
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n and n < 24
+    assert spark.read.parquet(out).count() == spark.read.parquet(src).count()
