@@ -263,3 +263,82 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
     )
     return profile_columns(ev, distinct="exact")
+
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a
+    JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: typo-level name matching by edit
+    distance. The pair space is the DISTINCT name set (cardinality ≪ row
+    count — aggregate first, then match), with a length-band blocking
+    predicate (|len diff| ≤ 3 is a necessary condition of lev ≤ 3) so the
+    quadratic levenshtein only runs inside bands — the same
+    block-then-verify discipline as the MinHash/SimHash dedup family."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 3
+            ),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 3)
+    )
+
+
+@query(
+    "array_set_ops",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               list_sort(list_distinct(list(l_suppkey))) AS all_supps,
+               list_sort(list_distinct(coalesce(
+                   list(l_suppkey) FILTER (l_returnflag = 'R'), []))) AS ret_supps
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(all_supps)                                          AS n_supps,
+           len(ret_supps)                                          AS n_ret_supps,
+           coalesce(array_to_string(list_sort(list_filter(all_supps,
+               x -> NOT list_contains(ret_supps, x))), ','), '')   AS clean_supps,
+           coalesce(array_to_string(list_sort(list_filter(all_supps,
+               x -> list_contains(ret_supps, x))), ','), '')       AS overlap_supps
+    FROM per_order
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — array_except / array_intersect over per-group
+    collect_set results (suppliers per order vs suppliers with returned
+    lines), rendered as sorted CSV so the oracle's list functions check
+    the same values. One groupBy; the set ops are per-row JVM HOFs."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("all_supps"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        ).alias("ret_supps"),
+    )
+    render = lambda c: F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
+    return per_order.select(
+        "l_orderkey",
+        F.size("all_supps").alias("n_supps"),
+        F.size("ret_supps").alias("n_ret_supps"),
+        render(F.array_sort(F.array_except("all_supps", "ret_supps"))).alias("clean_supps"),
+        render(F.array_sort(F.array_intersect("all_supps", "ret_supps"))).alias("overlap_supps"),
+    )
