@@ -378,3 +378,27 @@ def test_pool_name_join_collision_gate(spark):
     # name collision: poolA's history bleeds into poolB — the reference's
     # merge-on-name behavior, faithfully gated
     assert b_name["total_tokenX_amount_initial_deposit"] == 6.5
+
+
+def test_pipeline_observability_metrics(spark):
+    """df.observe(): pipeline-run metrics (row count, scrub rate) come
+    back WITH the action — no second pass over the data, the engine form
+    of a pipeline run report."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("run_metrics")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value").isNull()).alias("null_values"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    out = observed.filter(F.col("value") > 0).count()
+    got = obs.get
+    assert got["n_rows"] >= out and got["n_rows"] == events.count()
+    assert got["null_values"] == 0
+    assert got["total_value"] > 0
