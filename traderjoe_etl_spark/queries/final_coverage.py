@@ -342,3 +342,41 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         render(F.array_sort(F.array_except("all_supps", "ret_supps"))).alias("clean_supps"),
         render(F.array_sort(F.array_intersect("all_supps", "ret_supps"))).alias("overlap_supps"),
     )
+
+
+@query(
+    "nested_collections",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               list_sort(list_distinct(coalesce(
+                   list(l_suppkey) FILTER (l_returnflag = 'R'), []))) AS rs
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           u.rsupp AS returned_supp,
+           '{"okey":' || l_orderkey || ',"n_lines":' || n_lines || '}' AS meta_json
+    FROM per, unnest(CASE WHEN len(rs) = 0 THEN [NULL] ELSE rs END) AS u(rsupp)
+    """,
+)
+def nested_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer — orders with no returned
+    lines keep one NULL row, where plain explode would drop the order)
+    plus to_json struct serialization, checked byte-for-byte against a
+    string-constructed oracle twin. The exploded array comes from a
+    collect_set aggregate, so the Generate runs over per-order rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        ).alias("rs"),
+    )
+    return per.select(
+        "l_orderkey",
+        F.explode_outer("rs").alias("returned_supp"),
+        F.to_json(
+            F.struct(F.col("l_orderkey").alias("okey"), F.col("n_lines").alias("n_lines"))
+        ).alias("meta_json"),
+    )
