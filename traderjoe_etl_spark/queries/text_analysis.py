@@ -643,3 +643,46 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = top_frac("bg", "top_bigram_frac")
     base = toks.select("doc_id", F.size("w").alias("n_tokens"))
     return base.join(uni, "doc_id").join(bi, "doc_id")
+
+
+def _canonical_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_DEDUP_CLUSTERS_ORACLE.split('WITH RECURSIVE', 1)[1].rsplit('SELECT c.node', 1)[0].rstrip().rstrip(',')},
+    assigned AS (
+        SELECT c.node AS doc_id, c.canonical AS cluster_id, s.cluster_size
+        FROM comp c JOIN sizes s USING (canonical)
+    )
+    SELECT a.cluster_id, CAST(max(a.cluster_size) AS BIGINT) AS cluster_size,
+           max_by(a.doc_id, d.n_chars * 10000000 - a.doc_id) AS keep_doc_id,
+           max_by(d.n_chars, d.n_chars * 10000000 - a.doc_id) AS keep_n_chars
+    FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
+    GROUP BY a.cluster_id
+    """
+
+
+@query("dedup_canonical_best", oracle=_canonical_best_oracle())
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation END of the dedup pipeline: within each near-dup
+    cluster (LSH candidates → exact Jaccard ≥ 0.8 → connected
+    components), KEEP the best member — here the longest document, ties
+    to the smaller doc_id via an exact integral ranking key
+    (n_chars·10^7 − doc_id), computed with max_by so selection is one
+    aggregate over the cluster assignments, not a window sort. A 100-TB
+    curation job then semi-joins the corpus on keep_doc_id."""
+    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    from ..operators.graph import dedup_cluster_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+    assigned = dedup_cluster_assignments(near, "id_a", "id_b")
+    rank = (F.col("n_chars") * 10000000 - F.col("doc_id")).cast("long")
+    return (
+        assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(F.col("canonical_id").alias("cluster_id"))
+        .agg(
+            F.max("cluster_size").alias("cluster_size"),
+            F.max_by("doc_id", rank).alias("keep_doc_id"),
+            F.max_by("n_chars", rank).alias("keep_n_chars"),
+        )
+    )
