@@ -309,3 +309,39 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("filled_value"),
         )
     )
+
+
+@query(
+    "date_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')               AS month_end,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')  AS quarter_start,
+           CAST(quarter(o_orderdate) AS INT)                         AS q,
+           CAST(isodow(o_orderdate) AS INT)                          AS iso_dow,
+           CAST(weekofyear(o_orderdate) AS INT)                      AS iso_week,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+               AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function family: last_day / date_trunc(quarter) /
+    quarter / ISO day-of-week / ISO week / datediff. Dialect traps
+    handled: Spark dayofweek() is Sunday-based while DuckDB's isodow is
+    ISO — Spark weekday()+1 == isodow; both engines' weekofyear are ISO
+    weeks. All JVM scalar expressions, fully codegen'd in the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.datediff(
+            "o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+    )
