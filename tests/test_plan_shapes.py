@@ -1,0 +1,67 @@
+"""Plan-SHAPE regression tests: the scale properties of the headline
+plans (pushdown, pruning, broadcast, shuffle discipline) asserted as
+facts, so a lost optimization fails here instead of shipping."""
+
+from __future__ import annotations
+
+import pytest
+
+from traderjoe_etl_spark.plans.audit import plan_facts
+from traderjoe_etl_spark.queries import queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_pricing_summary_shape(spark, qs):
+    f = plan_facts(qs["pricing_summary"](spark, SF))
+    assert f.pushed_filters, "shipdate filter must reach the parquet scan"
+    # pruned scan: only the 7 referenced measure/key columns are read
+    assert all(len(cols) <= 7 for cols in f.scan_columns())
+    # one shuffle: the partial->final aggregate exchange
+    assert f.n_exchanges <= 1
+
+
+def test_revenue_by_region_shape(spark, qs):
+    f = plan_facts(qs["revenue_by_region"](spark, SF))
+    # dims ride broadcasts; the only hash exchanges are the per-order
+    # partials, the orders map, and the final 5-row region rollup
+    assert f.n_broadcasts >= 1
+    assert f.n_exchanges <= 3
+    assert "BroadcastHashJoin" in f.operators
+
+
+def test_rollup_two_level_shape(spark, qs):
+    f = plan_facts(qs["rollup_fees_report"](spark, SF))
+    # the Expand must run over the pre-aggregated rows, never the scan
+    assert not f.has_expand_over_scan
+    assert "Expand" in f.operators
+
+
+def test_topk_uses_take_ordered(spark, qs):
+    f = plan_facts(qs["topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in f.operators
+
+
+def test_latest_deposit_window_group_limit(spark, qs):
+    f = plan_facts(qs["latest_deposit_per_user"](spark, SF))
+    # rank-filter argmax must plan the map-side WindowGroupLimit prune
+    assert "WindowGroupLimit" in f.text
+    assert f.pushed_filters, "event_type filter must push to the scan"
+
+
+def test_q5_broadcasts_all_dims(spark, qs):
+    f = plan_facts(qs["local_supplier_volume_q5"](spark, SF))
+    assert f.n_broadcasts >= 3  # supplier, nation, region
+    assert f.pushed_filters  # orderdate + r_name reach the scans
+
+
+def test_constraint_check_single_pass(spark, qs):
+    f = plan_facts(qs["constraint_check"](spark, SF))
+    # one broadcast (customer dim); aggregation collapses in <=2 exchanges
+    assert f.n_broadcasts >= 1
+    assert len(f.scans) == 2  # orders + customer, each scanned once
