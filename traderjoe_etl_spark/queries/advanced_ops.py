@@ -404,3 +404,110 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+@query(
+    "session_window_rollup",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native batch session_window() aggregation (gap-based dynamic
+    windows INSIDE the aggregate — no window-function pass): per-user
+    sessions with a 30-minute gap. The oracle derives identical sessions
+    with the lag/cumulative-sum island method, proving the built-in's
+    semantics (window end = last event + gap) against first principles.
+    Complements `sessionization` (the island form as an engine query)
+    and the streaming session_window in streaming/jobs.py."""
+    apply_runtime_confs(spark)
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    source AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice, 2) + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', round(o_totalprice, 2)
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t FULL OUTER JOIN source s USING (o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format (operators/merge.py):
+    urgent orders arrive as updates (status U, +1000 price), a sampled
+    set of new keys as inserts; matched rows take source values,
+    unmatched target rows carry forward — one co-keyed full-outer
+    shuffle join, map-side per-column coalesce. The oracle is the
+    textbook FULL JOIN + COALESCE expansion of the same MERGE."""
+    from ..operators.merge import merge_upsert
+
+    apply_runtime_confs(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    # +1000.0 (an exactly-representable shift of the already-rounded
+    # value) instead of *1.1: a multiplicative bump re-lands on .005
+    # boundaries where Spark HALF_UP and DuckDB HALF_EVEN disagree.
+    updates = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.round("o_totalprice", 2) + 1000.0).alias("o_totalprice"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 97 == 0)
+    ).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    return merge_upsert(target, updates.unionByName(inserts), keys=["o_orderkey"])
