@@ -339,3 +339,26 @@ def test_hll_sketch_rollup_query(spark, sf_dir):
     assert "ALL" in rows and len(rows) >= 5
     detail_n = sum(r.n_orders for k, r in rows.items() if k != "ALL")
     assert rows["ALL"].n_orders == detail_n
+
+
+def test_merge_upsert_delete_arm(spark):
+    """MERGE delete arm: a matched source row marked for deletion drops
+    the target row; unmatched rows behave as update/insert/carry."""
+    from traderjoe_etl_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 25.0, False), (3, None, None, True), (4, "d", 40.0, False)],
+        "k long, s string, v double, is_deleted boolean",
+    )
+    out = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(target, source.drop("is_deleted"), keys=["k"]).collect()
+    }
+    assert out[2] == ("B", 25.0) and out[4] == ("d", 40.0) and out[1] == ("a", 10.0)
+
+    deleted = merge_upsert(target, source, keys=["k"], delete_col="is_deleted")
+    keys = {r.k for r in deleted.collect()}
+    assert keys == {1, 2, 4}  # 3 deleted; 1 carried; 2 updated; 4 inserted

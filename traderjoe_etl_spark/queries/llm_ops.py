@@ -72,18 +72,28 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+               AS n_bpe_tokens,
            length(text) AS n_chars_actual
     FROM documents
     WHERE length(trim(text)) > 0
     """,
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting per document (SURVEY.md §2B text analysis
-    ◆). Pure column expressions — no UDF, stays in codegen."""
+    """Token counting per document, two estimators (SURVEY.md §2B text
+    analysis ◆): whitespace split, and a GPT-2-style BPE pre-tokenizer
+    regex (letter runs / digit runs / punctuation runs, each optionally
+    space-prefixed) — the cheap proxy for real tokenizer counts that
+    data-mixing pipelines budget with. Pure column expressions — no UDF,
+    stays in codegen."""
     docs = _t(spark, sf_dir, "documents")
+    bpe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
     return docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{bpe}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
         F.length("text").alias("n_chars_actual"),
     )
 
