@@ -129,3 +129,31 @@ def test_python_datasource_filter_pushdown(spark):
     )
     out = df.collect()
     assert {r.pool_id for r in out} == {3} and len(out) == 2
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    """Streaming Python DataSource: hourly micro-batch offsets drain into
+    a memory sink; total rows = pools x hours and offsets checkpoint."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.pyds import SnapshotRestDataSource
+
+    spark.dataSource.register(SnapshotRestDataSource)
+    stream = (
+        spark.readStream.format("rest_snapshot")
+        .option("n_pools", 4)
+        .option("max_hours", 6)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("__pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("__pyds_stream")
+    assert out.count() == 4 * 6
+    agg = out.groupBy("pool_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r.n == 6 for r in agg)

@@ -36,6 +36,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -124,3 +125,48 @@ class SnapshotRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotRestReader:
         return SnapshotRestReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "SnapshotRestStreamReader":
+        return SnapshotRestStreamReader(self.options)
+
+
+class SnapshotRestStreamReader(DataSourceStreamReader):
+    """Micro-batch stream form: each trigger advances the offset by one
+    'hour' and emits that hour's snapshot for every pool — exactly the
+    reference's hourly polling loop (main.py:353-359) recast as a
+    checkpointable Structured Streaming source. Offsets are dicts
+    ({"hour": n}), so restarts resume from the committed hour instead of
+    re-fetching history; `max_hours` bounds the fixture stream so tests
+    can drain it deterministically."""
+
+    def __init__(self, options):
+        self.n_pools = int(options.get("n_pools", 8))
+        self.max_hours = int(options.get("max_hours", 24))
+
+    def initialOffset(self) -> dict:
+        return {"hour": 0}
+
+    def latestOffset(self) -> dict:
+        # fixture stream: all hours are immediately available; a real
+        # endpoint would return the newest hour the API can serve.
+        return {"hour": self.max_hours}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _HourRange(p, start["hour"], end["hour"]) for p in range(self.n_pools)
+        ]
+
+    def read(self, partition) -> Iterator[tuple]:
+        all_rows = fixture_payload(partition.pool_id, self.max_hours)
+        for h in range(partition.start_h, partition.end_h):
+            yield all_rows[h]
+
+    def commit(self, end: dict) -> None:
+        pass  # fixture source has nothing to clean up
+
+
+class _HourRange(InputPartition):
+    def __init__(self, pool_id: int, start_h: int, end_h: int):
+        self.pool_id = pool_id
+        self.start_h = start_h
+        self.end_h = end_h
