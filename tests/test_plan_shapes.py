@@ -65,3 +65,25 @@ def test_constraint_check_single_pass(spark, qs):
     # one broadcast (customer dim); aggregation collapses in <=2 exchanges
     assert f.n_broadcasts >= 1
     assert len(f.scans) == 2  # orders + customer, each scanned once
+
+
+def test_asof_join_no_blowup(spark, qs):
+    """The union-window as-of join must never plan a range cross product."""
+    f = plan_facts(qs["asof_join_last_order"](spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_minhash_lsh_no_cartesian(spark, qs):
+    """LSH candidate generation must pair via band-bucket equi-keys —
+    an O(n^2) cross product can never appear in the plan."""
+    f = plan_facts(qs["minhash_near_dup"](spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_gap_fill_copartitioned(spark, qs):
+    """Spine build, rollup, join, and forward-fill window all hash on
+    user_id — the whole query needs at most 3 exchanges."""
+    f = plan_facts(qs["gap_fill_hourly"](spark, SF))
+    assert f.n_exchanges <= 3
