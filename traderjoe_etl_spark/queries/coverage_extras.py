@@ -382,3 +382,39 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphan.alias("orphan_orders"),
         ((null_ck == 0) & (nonpos == 0) & (dup == 0) & (orphan == 0)).alias("all_passed"),
     )
+
+
+@query(
+    "xml_parsing",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey       AS parsed_id,
+           c_mktsegment    AS parsed_seg,
+           CAST(floor(c_acctbal) AS BIGINT) AS parsed_bal
+    FROM customer
+    """,
+)
+def xml_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 from_xml): documents synthesized
+    from the customer table are parsed back with an explicit schema, and
+    the round-trip identity IS the oracle — the parsed fields must equal
+    the source columns, so the check isolates the parser itself (a
+    DuckDB XML twin does not exist). Parse runs in the JVM inside the
+    scan projection; no UDF."""
+    cust = _t(spark, sf_dir, "customer")
+    xml = F.concat(
+        F.lit("<cust><id>"), F.col("c_custkey"),
+        F.lit("</id><seg>"), F.col("c_mktsegment"),
+        F.lit("</seg><bal>"), F.floor("c_acctbal").cast("long"),
+        F.lit("</bal></cust>"),
+    )
+    parsed = cust.select(
+        "c_custkey",
+        F.from_xml(xml, "id BIGINT, seg STRING, bal BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "c_custkey",
+        F.col("p.id").alias("parsed_id"),
+        F.col("p.seg").alias("parsed_seg"),
+        F.col("p.bal").alias("parsed_bal"),
+    )
