@@ -537,10 +537,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(regexp_replace(raw,
                '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
                '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
-           CAST(length(raw) - length(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '', 'g')) > 0 AS INT)
-               AS had_email,
-           CAST(length(raw) - length(regexp_replace(raw, '[0-9]{3}-[0-9]{4}', '', 'g')) > 0 AS INT)
-               AS had_phone
+           CAST(regexp_matches(raw, '[a-z0-9.]+@[a-z0-9.]+') AS INT) AS had_email,
+           CAST(regexp_matches(raw, '[0-9]{3}-[0-9]{4}') AS INT)      AS had_phone
     FROM synth
     """,
 )
@@ -568,12 +566,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
-        (F.length("raw") - F.length(F.regexp_replace("raw", email, "")) > 0)
-        .cast("int")
-        .alias("had_email"),
-        (F.length("raw") - F.length(F.regexp_replace("raw", phone, "")) > 0)
-        .cast("int")
-        .alias("had_phone"),
+        F.col("raw").rlike(email).cast("int").alias("had_email"),
+        F.col("raw").rlike(phone).cast("int").alias("had_phone"),
     )
 
 
@@ -617,18 +611,16 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= 2)
-    toks = toks.select(
-        "doc_id",
-        "w",
-        F.expr(
-            "transform(sequence(1, size(w) - 1),"
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-        ).alias("bg"),
-    )
 
-    def top_frac(col: str, out: str) -> DataFrame:
+    def top_frac(gram: F.Column, out: str) -> DataFrame:
+        # Build the n-gram INSIDE the explode's own projection: a
+        # separate pre-projection of the bigram array measured 19×
+        # slower at sf10 (38 s vs 2 s — the intermediate Project
+        # materializes and re-serializes the array column between
+        # codegen stages); the single-select Generate form evaluates
+        # the transform once per row and streams elements out.
         return (
-            toks.select("doc_id", F.explode(col).alias("g"))
+            toks.select("doc_id", F.explode(gram).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy("doc_id")
@@ -639,8 +631,12 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    uni = top_frac("w", "top_unigram_frac")
-    bi = top_frac("bg", "top_bigram_frac")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    uni = top_frac(F.col("w"), "top_unigram_frac")
+    bi = top_frac(bigrams, "top_bigram_frac")
     base = toks.select("doc_id", F.size("w").alias("n_tokens"))
     return base.join(uni, "doc_id").join(bi, "doc_id")
 
