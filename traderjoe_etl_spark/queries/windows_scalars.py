@@ -225,7 +225,14 @@ def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     default frame stops at CURRENT ROW, which makes last_value a no-op;
     the explicit frame is the meaningful — and portable — form). Ordering
     includes the unique orderkey so every rank is deterministic. One sort
-    per partition serves all five functions (single Window exchange)."""
+    per partition serves all five functions (single Window exchange).
+
+    Scale note: percent_rank/cume_dist semantically require a TOTAL
+    order per partition, and this query partitions on a 5-value column —
+    at 100 TB each partition is a single-task sort by construction. For
+    distribution statistics over low-cardinality partitions at scale,
+    use approx_percentile/ntile buckets instead; this query exists to
+    pin the exact built-ins' semantics."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
