@@ -47,3 +47,26 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns
     df.limit(5).collect()  # plan executes
+
+
+def test_bad_sf_dir_raises_cleanly(spark):
+    """A wrong sf_dir must fail fast with PATH_NOT_FOUND, never hang or
+    return an empty frame."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        QUERIES["pricing_summary"](spark, "/nonexistent_sf_dir").collect()
+
+
+def test_non_utc_session_still_matches(spark, sf_dir):
+    """A session preconfigured with a non-UTC timezone must still produce
+    oracle-consistent timestamps: apply_runtime_confs pins UTC on every
+    query entry."""
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        out = QUERIES["orders_by_month"](spark, sf_dir).limit(3).collect()
+        assert out  # ran; TZ pinned back to UTC inside the query
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
