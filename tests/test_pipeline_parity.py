@@ -402,3 +402,20 @@ def test_pipeline_observability_metrics(spark):
     assert got["n_rows"] >= out and got["n_rows"] == events.count()
     assert got["null_values"] == 0
     assert got["total_value"] > 0
+
+
+def test_cli_run_and_query(spark, tmp_path, capsys):
+    """python -m traderjoe_etl_spark: run appends a snapshot batch to the
+    partitioned sink; query executes any registered name; list prints the
+    registry."""
+    from traderjoe_etl_spark.__main__ import main
+
+    out = str(tmp_path / "snapshots")
+    rc = main(["run", "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
+
+    assert main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert main(["query", "no_such_query", "--sf-dir", "x"]) == 2
+    assert main(["list"]) == 0
+    assert "pricing_summary" in capsys.readouterr().out
