@@ -130,3 +130,42 @@ def test_empty_first_batch_stays_uninitialized(spark):
     # and a subsequent empty batch advances the epoch but keeps the version
     sink(_snap(spark, []), 2)
     assert current_version(table) == {"version": 0, "epoch_id": 2}
+
+
+def test_streaming_foreachbatch_merge(spark, tmp_path):
+    """Streaming SCD1 upsert: each micro-batch merges into the stored
+    table via operators/merge.py inside foreachBatch — the overwrite
+    counterpart of the SCD2 history sink."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.merge import merge_upsert
+
+    store = str(tmp_path / "state")
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 15.0), (3, 30.0)], "k long, v double"
+    ).repartition(1).write.parquet(src_dir)
+
+    def upsert(batch, batch_id):
+        batch = (
+            batch.groupBy("k").agg(F.max("v").alias("v"))  # last-write-wins per batch
+        )
+        try:
+            target = batch.sparkSession.read.parquet(store)
+            merged = merge_upsert(target, batch, keys=["k"])
+        except Exception:
+            merged = batch
+        merged.write.mode("overwrite").parquet(store + "_next")
+        next_df = batch.sparkSession.read.parquet(store + "_next")
+        next_df.write.mode("overwrite").parquet(store)
+
+    stream = spark.readStream.schema("k long, v double").parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {r.k: r.v for r in spark.read.parquet(store).collect()}
+    assert final == {1: 15.0, 2: 20.0, 3: 30.0}
