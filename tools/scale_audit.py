@@ -1,0 +1,64 @@
+"""Scale audit: time EVERY registered query at a benchdata dir.
+
+Usage: python tools/scale_audit.py [sf_dir] [threshold_sec]
+
+The headline bench (bench.py) tracks 15 queries; this sweep times the
+whole registry (noop sink, one run each) and prints one JSON line with
+per-query seconds sorted slowest-first, flagging everything above the
+threshold (default 15 s). This is the per-round regression net that
+caught repetition_scores at 51 s and local_supplier_volume_q5 at 14 s —
+run it at sf10 after adding queries.
+
+Streaming-drain queries rebuild their source each call, so their numbers
+include that setup; they are still comparable round-over-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf10"
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
+
+    from traderjoe_etl_spark.queries import queries
+    from traderjoe_etl_spark.session import get_spark
+
+    spark = get_spark("scale-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(qs):
+        try:
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # keep sweeping; report at the end
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+
+    ordered = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": len(times),
+                "total_sec": round(sum(times.values()), 1),
+                "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
+                "times": ordered,
+                "errors": errors,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
