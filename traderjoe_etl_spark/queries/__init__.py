@@ -54,6 +54,7 @@ def load_all() -> None:
         pipeline_queries,
         reference_semantics,
         relational,
+        sql_surface_extras,
         stateful_queries,
         subquery_shapes,
         tpch_shapes,
