@@ -59,6 +59,7 @@ def load_all() -> None:
         subquery_shapes,
         tpch_shapes,
         text_analysis,
+        training_prep,
         udf_surface,
         windows_scalars,
     )

@@ -1,0 +1,134 @@
+"""Training-data preparation ops: document chunking and sequence packing
+(SURVEY.md §2B LLM-data-pipeline ◆, round-2 widening).
+
+Two ops every LLM pre-training pipeline runs between curation and the
+tokenizer, both expressed as pure column/window plans (no UDFs, no
+driver loops) with full DuckDB oracles:
+
+- ``chunk_documents``: split each document into fixed-size overlapping
+  character chunks (the context-window pre-split).
+- ``pack_sequences``: assign documents to fixed-token-budget training
+  sequences (bin packing) without any global coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+CHUNK_CHARS = 500
+CHUNK_STRIDE = 450  # 50-char overlap between consecutive chunks
+PACK_BUCKETS = 16
+PACK_CAPACITY = 2048  # whitespace-token budget per packed sequence
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(t.i AS INT) AS chunk_idx,
+           length(substring(d.text, 1 + CAST(t.i AS INT) * {CHUNK_STRIDE}, {CHUNK_CHARS}))
+               AS chunk_chars,
+           md5(substring(d.text, 1 + CAST(t.i AS INT) * {CHUNK_STRIDE}, {CHUNK_CHARS}))
+               AS chunk_md5
+    FROM documents d, LATERAL unnest(generate_series(0,
+         GREATEST(0, CAST(ceil((length(d.text) - {CHUNK_CHARS}) / {CHUNK_STRIDE}.0) AS INT))
+    )) AS t(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking: {CHUNK_CHARS}-char chunks
+    every {CHUNK_STRIDE} chars (50-char overlap so no boundary-spanning
+    passage is lost), the standard pre-split before tokenization /
+    embedding. Chunk count and content are a pure function of the text, so
+    the op is map-only: sequence() builds the per-doc index array
+    (pre-projected, then exploded — Generate does not CSE its child),
+    substring slices, and the identical arithmetic runs in the oracle.
+    Chunks are emitted as (length, md5) rather than raw text so the
+    result stays compact; at 100 TB this plan is a single Generate+Project
+    over the scan — no shuffle, no state, linear in input bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    n_last = F.greatest(
+        F.lit(0),
+        F.ceil((F.length("text") - F.lit(CHUNK_CHARS)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+    )
+    pre = docs.select("doc_id", "text", F.sequence(F.lit(0), n_last).alias("__idxs"))
+    chunk = F.expr(f"substring(text, 1 + chunk_idx * {CHUNK_STRIDE}, {CHUNK_CHARS})")
+    return (
+        pre.select("doc_id", "text", F.explode("__idxs").alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.length(chunk).alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_CAPACITY}.0)
+                AS BIGINT) AS seq_id
+    FROM t
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget
+    training sequence ({PACK_CAPACITY} whitespace tokens) by contiguous
+    fill — documents are streamed in deterministic order and a running
+    token total maps each to seq_id = floor(tokens_before / capacity).
+    A document straddling a boundary opens the next sequence (contiguous
+    packing semantics; the trainer truncates or spans — either way the
+    assignment is reproducible).
+
+    Scale: packing needs a per-stream cumulative sum, which would be a
+    single global-window task if run over one ordered stream. Instead
+    documents are first split into {PACK_BUCKETS} independent hash
+    buckets (doc_id mod — document order carries no meaning for packing,
+    only determinism does) and each bucket packs in parallel under its
+    own window; bucket count scales with the cluster, so no task ever
+    sees more than 1/N of the corpus. The oracle mirrors the identical
+    bucket + window arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).cast("int").alias("bucket"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return t.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        before.alias("tokens_before"),
+        F.floor(before / float(PACK_CAPACITY)).cast("long").alias("seq_id"),
+    )
