@@ -418,3 +418,29 @@ def xml_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.seg").alias("parsed_seg"),
         F.col("p.bal").alias("parsed_bal"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format surface (the second built-in columnar format next to
+    parquet): the nation dimension is written to ORC and read back with an
+    explicit schema; the round-trip identity IS the oracle (same device as
+    xml_parsing — DuckDB reads the parquet original, Spark the ORC copy,
+    so the check isolates the format codec). ORC carries the same
+    pushdown/pruning contract as parquet in Spark's DataSource V2, so the
+    engine's scan discipline transfers unchanged; a fixed overwrite path
+    keeps repeated driver/bench invocations from accumulating files."""
+    import os
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(
+        tempfile.gettempdir(), f"traderjoe_orc_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    nation.write.format("orc").mode("overwrite").save(path)
+    return spark.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT").orc(path)

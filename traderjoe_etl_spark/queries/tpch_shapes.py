@@ -433,3 +433,162 @@ def late_shipment_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthesized partsupp: the driver testdata has no partsupp table, which
+# blocked TPC-H Q2/Q20 (NOTES r01 backlog). Both engines derive the SAME
+# deterministic partsupp from part × a generated supplier-index — 4
+# suppliers per part via modular arithmetic over the supplier count, no
+# cross join (the count rides a broadcast 1-row aggregate, so the build is
+# a map-only Generate over the part scan at any scale).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+sc AS (SELECT count(*) AS n FROM supplier),
+ps AS (
+  SELECT p.p_partkey AS ps_partkey,
+         (p.p_partkey + t.i * 13) % sc.n AS ps_suppkey,
+         CAST((p.p_partkey * 17 + t.i * 29) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         (((p.p_partkey * 31 + t.i * 7) % 80000) + 10000) / 100.0 AS ps_supplycost
+  FROM part p, sc, LATERAL unnest(generate_series(0, 3)) AS t(i)
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    sc = supp.agg(F.count(F.lit(1)).alias("__n"))
+    pre = part.select("p_partkey", F.sequence(F.lit(0), F.lit(3)).alias("__idxs"))
+    i = F.col("i").cast("long")
+    return (
+        pre.select("p_partkey", F.explode("__idxs").alias("i"))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + i * 13) % F.col("__n")).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 17 + i * 29) % 9999 + 1).cast("long").alias("ps_availqty"),
+            ((((F.col("p_partkey") * 31 + i * 7) % 80000) + 10000) / 100.0).alias("ps_supplycost"),
+        )
+    )
+
+
+@query(
+    "min_cost_supplier_q2",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eur AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost, s.s_suppkey, s.s_name,
+               s.s_acctbal, n.n_name
+        FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type, e.ps_supplycost AS supplycost
+    FROM part p JOIN eur e ON p.p_partkey = e.ps_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND e.ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eur e2
+                             WHERE e2.ps_partkey = e.ps_partkey)
+    """,
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the synthesized partsupp: the min-cost supplier
+    per part within one region, the classic correlated-scalar-min query.
+    The correlation decorrelates to a window min over the region-filtered
+    (part, supplier, cost) stream + an equality filter — one shuffle on
+    ps_partkey, region/nation broadcast, ties (two suppliers at the min)
+    all kept, matching SQL set semantics. supplycost is emitted as the raw
+    double both sides compute identically — no re-rounding drift."""
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf_dir)
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    eur = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eur.withColumn("__min", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("__min")
+    )
+    return best.join(part, part.p_partkey == best.ps_partkey).select(
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_type",
+        F.col("ps_supplycost").alias("supplycost"),
+    )
+
+
+@query(
+    "excess_stock_suppliers_q20",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    agg AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    cand AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM ps
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+        JOIN agg a ON a.l_partkey = ps.ps_partkey AND a.l_suppkey = ps.ps_suppkey
+        WHERE p.p_name LIKE 'small%' AND ps.ps_availqty > 0.5 * a.qty
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM cand)
+      AND n.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+    """,
+)
+def excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape over the synthesized partsupp: suppliers holding
+    more than half a year's shipped quantity of a part family — the nested
+    IN / correlated-sum chain. Flattened scale-first: lineitem is
+    pre-aggregated ONCE to (partkey, suppkey, qty) partials (the shuffle
+    carries the pair aggregate, never fact rows), partsupp inner-joins the
+    aggregate (a pair with no shipments fails the > comparison in SQL —
+    NULL — so inner join is equivalent), and the final IN becomes a
+    left-semi join against the distinct candidate suppliers. Sum of
+    l_quantity is exact (small integers in doubles), so 0.5·qty compares
+    identically in both engines."""
+    ps = _partsupp(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    cand = (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(
+            agg,
+            (agg.l_partkey == ps.ps_partkey) & (agg.l_suppkey == ps.ps_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(cand, supp.s_suppkey == cand.ps_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
