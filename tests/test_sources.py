@@ -157,3 +157,28 @@ def test_python_datasource_stream(spark, tmp_path):
     assert out.count() == 4 * 6
     agg = out.groupBy("pool_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r.n == 6 for r in agg)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on an append-only parquet dataset (the K1 sink's
+    long-term reality at 100 TB: columns get added across vintages).
+    Batch 1 lacks the new column; mergeSchema=true unifies the footer
+    schemas and back-fills NULL, and an explicit .schema() read pins the
+    superset without paying the footer merge."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id").alias("k"), F.lit("v1").alias("a")).write.mode(
+        "append"
+    ).parquet(p)
+    spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("v2").alias("a"), F.lit(7).alias("b")
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"k", "a", "b"}
+    rows = {r.k: (r.a, r.b) for r in merged.collect()}
+    assert rows[0] == ("v1", None) and rows[4] == ("v2", 7)
+
+    pinned = spark.read.schema("k BIGINT, a STRING, b INT").parquet(p)
+    assert {r.k: r.b for r in pinned.collect()}[1] is None
