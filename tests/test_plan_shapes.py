@@ -87,3 +87,42 @@ def test_gap_fill_copartitioned(spark, qs):
     user_id — the whole query needs at most 3 exchanges."""
     f = plan_facts(qs["gap_fill_hourly"](spark, SF))
     assert f.n_exchanges <= 3
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path):
+    """A partition-clustered fact joined to a selective dim must prune
+    partitions at the scan — at 100 TB this is the difference between
+    scanning 12 months and 1. Two regimes, both pinned here:
+
+    - dim filtered ON the join key → Catalyst infers a STATIC partition
+      filter (month = 3) at plan time;
+    - dim filtered on a NON-key column → the qualifying months are only
+      known at runtime, so the scan gets a dynamicpruningexpression
+      (DPP subquery) instead.
+    """
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    p = str(tmp_path / "orders_by_month")
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.withColumn("month", F.month("o_orderdate")).write.partitionBy(
+        "month"
+    ).parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [(m, f"x{m}") for m in range(1, 13)], "month INT, label STRING"
+    )
+
+    static_j = fact.join(dim.filter(F.col("month") == 3), "month").groupBy("label").count()
+    static_plan = static_j._jdf.queryExecution().executedPlan().toString()
+    static_filters = static_plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "= 3" in static_filters, static_plan[:2000]
+
+    dpp_j = fact.join(dim.filter(F.col("label") == "x3"), "month").groupBy("label").count()
+    dpp_plan = dpp_j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in dpp_plan.lower(), dpp_plan[:2000]
+
+    expected = orders.filter(F.month("o_orderdate") == 3).count()
+    assert dpp_j.collect()[0]["count"] == expected
+    assert static_j.collect()[0]["count"] == expected

@@ -132,3 +132,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         before.alias("tokens_before"),
         F.floor(before / float(PACK_CAPACITY)).cast("long").alias("seq_id"),
     )
+
+
+VOCAB_K = 20  # < distinct-word count at sf0.01 so the cut + tie-break genuinely bind
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word)
+    SELECT word, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank
+    FROM c ORDER BY n DESC, word LIMIT {VOCAB_K}
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: the top-{VOCAB_K} corpus terms by frequency
+    with dense ids — the first step of any tokenizer/vocab build. Counting
+    is explode (pre-projected split array) + one map-side-combined groupBy
+    on the word; the global top-k plans as TakeOrderedAndProject
+    (per-partition k-heaps, only k rows reach the driver-side merge), and
+    the id assignment is a row_number over the ALREADY-limited k rows —
+    a single-partition window over {VOCAB_K} rows, never over the
+    unbounded vocabulary. Ties at the cut break lexicographically so the
+    selected set is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    pre = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("__words")
+    )
+    counts = (
+        pre.select(F.explode("__words").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "word").limit(VOCAB_K)
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return top.select("word", "n", F.row_number().over(w).cast("int").alias("rank"))
