@@ -119,3 +119,59 @@ def test_tws_position_tracker_matches_batch_fold(spark, sf_smoke):
         exp_net, exp_n = expected[r.user_id]
         assert r.n_events == exp_n, r.user_id
         assert abs(r.net_value - exp_net) < 1e-6, (r.user_id, r.net_value, exp_net)
+
+
+def test_windowed_agg_on_rocksdb_state_store(spark, sf_smoke):
+    """The scale-grade state backend: the same tumbling-window aggregation
+    must produce batch-identical results with RocksDB state (the provider
+    a 100-TB deployment runs — state spills to local disk instead of
+    executor heap; rocksdbjni ships in the Spark distribution). The conf
+    is set only for this query's lifetime and restored after."""
+    from traderjoe_etl_spark.streaming.jobs import windowed_event_agg
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tempfile.mkdtemp(prefix="rocksdb_src_")
+        events = read_table(spark, sf_smoke, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(d + "/a")
+        events.filter(F.col("event_id") % 2 == 1).write.parquet(d + "/b")
+        schema = spark.read.parquet(d + "/a").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/{a,b}")
+        )
+        q = (
+            windowed_event_agg(src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocksdb_windows")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.window_start, r.event_type): (r.n, r.total_value)
+            for r in spark.table("rocksdb_windows").collect()
+        }
+        exp = {
+            (r.window_start, r.event_type): (r.n, r.total_value)
+            for r in windowed_event_agg(events).collect()
+        }
+        # append mode emits only windows closed by the final watermark;
+        # every emitted window must match the batch fold exactly
+        assert got, "no windows emitted"
+        for k, v in got.items():
+            assert k in exp and abs(v[1] - exp[k][1]) < 1e-6 and v[0] == exp[k][0], k
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
