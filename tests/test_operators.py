@@ -375,3 +375,47 @@ def test_cosine_near_dup_auto_planes(spark, emb):
     # result is still a valid pair set (subset of the 4-plane result)
     rows = out.collect()
     assert all(r.id_a < r.id_b and r.cosine >= 0.35 for r in rows)
+
+
+def test_incremental_dedup_filters_cross_run_near_dups(spark, tmp_path):
+    """Cross-run dedup against the persistent band-hash store: run 1 seeds
+    the store; run 2's near-copies of run-1 docs are dropped while its
+    genuinely novel docs survive, and the store grows by the survivors."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.dedup import incremental_dedup
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    store = str(tmp_path / "fingerprints")
+    batch1 = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    out1 = incremental_dedup(batch1, "doc_id", "text", store)
+    assert out1.count() == batch1.count()  # empty store: everything is novel
+
+    # near-copies: one word appended to a run-1 doc (Jaccard ~ 0.97);
+    # novel docs: disjoint synthetic vocabulary (Jaccard ~ 0 vs corpus)
+    near = batch1.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    novel = spark.createDataFrame(
+        [
+            (
+                20000 + i,
+                " ".join(f"w{i}x{j}" for j in range(30)),
+            )
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    out2 = incremental_dedup(near.union(novel), "doc_id", "text", store)
+    kept = {r.doc_id for r in out2.select("doc_id").collect()}
+    assert all(k >= 20000 for k in kept), f"near-dup leaked: {sorted(kept)[:5]}"
+    assert len(kept) == 10, f"novel docs dropped: {sorted(kept)}"
+
+    # store grew: a re-run of the SAME novel docs is now fully filtered
+    out3 = incremental_dedup(novel, "doc_id", "text", store, update_store=False)
+    assert out3.count() == 0

@@ -163,6 +163,117 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(F.expr("array(" + ", ".join(terms) + ") AS sig"))
 
 
+def minhash_band_entries(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(``__id``, band_idx, band_hash) LSH band entries per document —
+    the shared building block of in-corpus candidate pairing
+    (:func:`minhash_lsh_candidates`) and cross-run filtering
+    (:func:`incremental_dedup`). ``bands`` rows per doc; the band hash is
+    murmur3 of the signature slice (default family) or md5 of the decimal
+    mins (portable family — any engine reproduces it)."""
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures(
+        df, id_col, text_col, shingle_k, num_hashes, hash_family=hash_family
+    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+
+    def band_key(b):
+        if hash_family == "portable":
+            cols = ", ".join(
+                f"CAST(__sig[{i}] AS STRING)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            return F.expr(f"md5(concat_ws(',', {cols}))")
+        sl = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+        return F.hash(sl).cast("string")
+
+    return with_sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", "band.band_idx", "band.band_hash")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_family: str = "xxhash64",
+    update_store: bool = True,
+) -> DataFrame:
+    """Cross-run near-duplicate filter: keep only the documents of a new
+    batch that do NOT collide with the persistent fingerprint store — the
+    "dedup this crawl against the existing corpus" operation, which
+    in-corpus pairing (:func:`minhash_lsh_candidates`) cannot do without
+    re-reading the whole corpus every run.
+
+    The store is an append-only parquet of (band_idx, band_hash) from all
+    prior accepted documents — deliberately text-free and id-free, so it
+    is orders of magnitude smaller than the corpus (``bands`` short rows
+    per document) and shippable to any cluster. A new doc sharing ANY
+    band bucket with the store is dropped (candidate-level semantics:
+    P(drop) ≈ 1−(1−j^r)^b, steep around Jaccard ≈ 0.5 at 64/16; band
+    collisions of genuinely novel text are possible — pipelines that
+    need exactness keep text alongside and verify with
+    :func:`ngram_jaccard_pairs` before dropping).
+
+    Plan shape: new-batch band entries (16 rows/doc) LEFT SEMI the store
+    on (band_idx, band_hash) → distinct colliding ids → LEFT ANTI onto
+    the batch. The store side streams through the join; the batch side
+    carries ids+hashes only, never text. Survivors' entries are appended
+    to the store (one extra write of the already-computed entries), so
+    the next run sees this run's accepted docs. Entries are computed
+    once and persisted across their two consumers, then released."""
+    spark = new_docs.sparkSession
+    entries = minhash_band_entries(
+        new_docs, id_col, text_col, shingle_k, num_hashes, bands, hash_family
+    ).persist()
+    try:
+        try:
+            store = spark.read.schema("band_idx INT, band_hash STRING").parquet(store_path)
+            have_store = True
+        except Exception:
+            have_store = False
+        if have_store:
+            hit_ids = (
+                entries.join(store, ["band_idx", "band_hash"], "left_semi")
+                .select(F.col("__id"))
+                .distinct()
+            )
+            novel = new_docs.join(
+                hit_ids, new_docs[id_col] == hit_ids.__id, "left_anti"
+            )
+        else:
+            novel = new_docs
+        if update_store:
+            novel_ids = novel.select(F.col(id_col).alias("__id"))
+            novel_entries = entries.join(novel_ids, "__id", "left_semi").select(
+                "band_idx", "band_hash"
+            )
+            novel_entries.write.mode("append").parquet(store_path)
+        # materialize before unpersisting: callers get a self-contained frame
+        return novel.localCheckpoint(eager=True)
+    finally:
+        entries.unpersist()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -205,34 +316,9 @@ def minhash_lsh_candidates(
     the all-pairs O(n²) product never materializes. Returns distinct
     (id_a, id_b, n_bands_shared).
     """
-    rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(
-        df, id_col, text_col, shingle_k, num_hashes, hash_family=hash_family
-    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
-
-    def band_key(b):
-        # portable family: md5 of the comma-joined decimal mins (any engine
-        # reproduces it); default: murmur3 of the long slice (faster)
-        if hash_family == "portable":
-            cols = ", ".join(
-                f"CAST(__sig[{i}] AS STRING)"
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            )
-            return F.expr(f"md5(concat_ws(',', {cols}))")
-        sl = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-        return F.hash(sl).cast("string")
-
-    band_entries = with_sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("__id", "band.band_idx", "band.band_hash")
+    band_entries = minhash_band_entries(
+        df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
+    )
     if pair_strategy == "bucket_agg":
         # sort_array pins collect_list's nondeterministic order; pairing
         # each id with only its successors yields id_a < id_b exactly once.
