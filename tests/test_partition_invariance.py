@@ -27,6 +27,11 @@ CASES = [
     "minhash_near_dup",     # portable universal-hash minhash + banded LSH
     "simhash_fingerprints",  # portable md5-chunk sign votes
     "cosine_topk_batch",    # Arrow GEMM scoring + WindowGroupLimit
+    "pack_sequences",       # bucket-local window cumsum (r2)
+    "chunk_documents",      # map-only generator (r2)
+    "vocab_top_terms",      # global top-k with tie-broken cut (r2)
+    "bitwise_flag_rollup",  # associative bitwise aggregates (r2)
+    "min_cost_supplier_q2", # window-min decorrelated lateral (r2)
 ]
 
 
