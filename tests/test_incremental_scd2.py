@@ -169,3 +169,94 @@ def test_streaming_foreachbatch_merge(spark, tmp_path):
     q.awaitTermination(120)
     final = {r.k: r.v for r in spark.read.parquet(store).collect()}
     assert final == {1: 15.0, 2: 20.0, 3: 30.0}
+
+
+def test_crawl_dedup_stream_filters_and_is_retry_idempotent(spark, tmp_path):
+    """Streaming crawl dedup: batch 2's near-copies of batch-1 docs are
+    dropped, novel docs accepted; a RETRY of the same epoch (at-least-once
+    delivery) rewrites the same epoch directory identically instead of
+    filtering everything out or duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.tables import read_table
+    from traderjoe_etl_spark.streaming.crawl_dedup import crawl_dedup_sink
+
+    store = str(tmp_path / "fp_store")
+    accepted = str(tmp_path / "accepted")
+    sink = crawl_dedup_sink("doc_id", "text", store, accepted)
+
+    b1 = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    sink(b1, 0)
+    assert spark.read.parquet(accepted + "/epoch=0").count() == 50
+
+    near = b1.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" appended")).alias("text"),
+    )
+    novel = spark.createDataFrame(
+        [(20000 + i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    b2 = near.union(novel)
+    sink(b2, 1)
+    kept = {r.doc_id for r in spark.read.parquet(accepted + "/epoch=1").collect()}
+    assert kept == {20000 + i for i in range(10)}
+
+    # simulate a foreachBatch retry of epoch 1: the store already holds
+    # epoch-1 fingerprints, but epoch<1 filtering must ignore them
+    sink(b2, 1)
+    kept_retry = {r.doc_id for r in spark.read.parquet(accepted + "/epoch=1").collect()}
+    assert kept_retry == kept
+
+    # epoch 2 re-sending accepted docs: now genuinely filtered
+    sink(novel, 2)
+    assert spark.read.parquet(accepted + "/epoch=2").count() == 0
+
+
+def test_crawl_dedup_query_end_to_end(spark, tmp_path):
+    """The streaming wrapper drains a 2-file backlog (availableNow, one
+    file per micro-batch): batch 2's repeats of batch-1 docs are filtered
+    across the micro-batch boundary via the store."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.tables import read_table
+    from traderjoe_etl_spark.streaming.crawl_dedup import crawl_dedup_query
+
+    src = str(tmp_path / "src")
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    docs.filter(F.col("doc_id") < 20).coalesce(1).write.parquet(src + "/a")
+    # second file: 10 repeats (shifted ids) + 10 fresh synthetic docs
+    rep = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    fresh = spark.createDataFrame(
+        [(9000 + i, " ".join(f"q{i}z{j}" for j in range(25))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    rep.union(fresh).coalesce(1).write.parquet(src + "/b")
+
+    schema = spark.read.parquet(src + "/a").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/{a,b}")
+    )
+    q = crawl_dedup_query(
+        stream,
+        "doc_id",
+        "text",
+        str(tmp_path / "store"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "accepted") + "/epoch=*")
+    kept = {r.doc_id for r in out.collect()}
+    assert {r.doc_id for r in docs.filter(F.col("doc_id") < 20).collect()} <= kept
+    assert all(9000 <= k < 9010 or k < 20 for k in kept), sorted(kept)[:30]
