@@ -126,3 +126,24 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path):
     expected = orders.filter(F.month("o_orderdate") == 3).count()
     assert dpp_j.collect()[0]["count"] == expected
     assert static_j.collect()[0]["count"] == expected
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy hints must reach the physical plan: at
+    100 TB picking SMJ vs SHJ vs broadcast is the single biggest lever a
+    user has over a join, so the engine must not silently drop the hint."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = read_table(spark, "/root/testdata/sf0.001", "customer")
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, op in cases.items():
+        j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, f"hint {hint!r} did not plan {op}: {plan[:500]}"

@@ -73,3 +73,41 @@ def test_safe_div_and_scrub_never_emit_nonfinite(spark, pairs):
     ).collect()
     for r in rows:
         assert r.q is None or math.isfinite(r.q), (pairs[r.i], r.q)
+
+
+def test_chunking_reassembles_to_original_at_edge_lengths(spark):
+    """chunk_documents semantics: for texts at every boundary-adjacent
+    length, stripping the 50-char overlap from chunks 1..n and
+    concatenating reconstructs the original text exactly — no character
+    lost or duplicated at any chunk boundary."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.queries.training_prep import CHUNK_CHARS, CHUNK_STRIDE
+
+    lengths = [0, 1, 449, 450, 451, 499, 500, 501, 949, 950, 951, 10000]
+    rows = [
+        (i, "".join(chr(97 + (j * 7 + i) % 26) for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_last = F.greatest(
+        F.lit(0),
+        F.ceil((F.length("text") - F.lit(CHUNK_CHARS)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+    )
+    chunks = (
+        df.select("doc_id", "text", F.explode(F.sequence(F.lit(0), n_last)).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.expr(f"substring(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_CHARS})").alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.i)):
+        prev = by_doc.get(r.doc_id, "")
+        piece = r.chunk if r.i == 0 else r.chunk[CHUNK_CHARS - CHUNK_STRIDE:]
+        by_doc[r.doc_id] = prev + piece
+    originals = {i: t for (i, t) in rows}
+    for doc_id, text in originals.items():
+        assert by_doc[doc_id] == text, (doc_id, len(text), len(by_doc[doc_id]))
