@@ -1,0 +1,71 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus and
+an evaluation/benchmark set (north-star training-data op; the step every
+large-scale pretraining pipeline runs before training).
+
+Method (the standard published recipe): lowercase-tokenize both sides,
+build word n-grams (n≈8–13), hash each n-gram, and flag any training
+document that shares at least one n-gram hash with the benchmark. The
+benchmark side is small by construction (eval sets are megabytes), so its
+distinct hash set broadcasts and the whole check is:
+
+    train scan → explode n-grams → hash → broadcast-semi/inner join → count
+
+One exchange (the per-doc count), no all-pairs product, and the train-side
+shuffle carries 16-byte md5 prefixes, not documents. At 100 TB the cost is
+the tokenize+explode map pass — linear, partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped (leading/trailing
+    whitespace would otherwise produce '' tokens that differ between
+    engines' split semantics)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != F.lit(""))
+
+
+def ngram_hashes(tokens_col: Column, n: int) -> Column:
+    """md5 hashes of the space-joined word n-grams of a pre-projected token
+    array. Documents shorter than ``n`` words contribute no n-grams (no
+    fallback — a short doc cannot be contaminated at this n). The token
+    array MUST be a projected column: Generate does not CSE its child
+    (see dedup._tokens)."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tokens_col, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-document count of distinct n-gram hashes shared with
+    the benchmark set → ``(id_col, n_shared_ngrams)``, contaminated docs
+    only. Callers drop or quarantine the flagged ids.
+
+    The benchmark hash set is deduplicated then broadcast — the join never
+    shuffles the exploded train side; the only exchange is the final
+    per-doc distinct-count aggregate."""
+    def explode_hashes(df: DataFrame) -> DataFrame:
+        toks = df.select(id_col, tokens(text_col).alias("__toks"))
+        return toks.select(id_col, F.explode(ngram_hashes(F.col("__toks"), n)).alias("__h"))
+
+    bench_hashes = explode_hashes(benchmark).select("__h").distinct()
+    train_hashes = explode_hashes(train).distinct()
+    return (
+        train_hashes.join(F.broadcast(bench_hashes), "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

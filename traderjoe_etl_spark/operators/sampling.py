@@ -70,3 +70,40 @@ def stratified_hash_sample(
     for value, rate in rates.items():
         thr = F.when(F.col(strata) == value, F.lit(rate_threshold_hex(rate))).otherwise(thr)
     return df.filter(sample_bucket(key, seed) < thr)
+
+
+def runtime_rate_threshold_hex(rate: Column) -> Column:
+    """``rate_threshold_hex`` for a rate computed AT RUNTIME from data (a
+    Column), e.g. per-group rates derived from group counts. Same fixed-
+    width lowercase hex encoding; the 2^32-1 clamp handles rate == 1.0
+    (whose floor would need 9 hex digits and lpad would corrupt it)."""
+    ticks = F.least(F.floor(rate * F.lit(4294967296.0)).cast("bigint"), F.lit(4294967295))
+    return F.lpad(F.lower(F.hex(ticks)), 8, "0")
+
+
+def sqrt_temperature_mix(
+    df: DataFrame, group_col: str, key: str, scale: float = 2.0, seed: str = "42"
+) -> DataFrame:
+    """Temperature-style source rebalancing at α = 0.5: keep each row of
+    group s with probability  rate_s = min(1, scale / sqrt(N_s)) — large
+    sources are flattened ∝ N^0.5 while rare sources are kept whole, the
+    standard multilingual/multi-source pretraining mix.
+
+    α = 0.5 is chosen deliberately: sqrt is IEEE-754 correctly-rounded on
+    every engine, so rate_s (one sqrt + one divide over an exact integer
+    count) is BIT-IDENTICAL in Spark, DuckDB, Trino … and the sampled set
+    is engine-portable, unlike a pow()-based rate whose libm last-ulp
+    differences can flip membership at the threshold. General-α mixing is
+    a one-line change but loses that guarantee.
+
+    Plan: one partial-agg groupBy for the counts (|groups| rows),
+    broadcast back onto the scan, then the same map-side hash filter as
+    ``hash_sample`` — no shuffle of kept rows, no RNG, reproducible."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rate = F.least(F.lit(1.0), F.lit(scale) / F.sqrt(F.col("__n").cast("double")))
+    rated = counts.select(group_col, runtime_rate_threshold_hex(rate).alias("__thr"))
+    return (
+        df.join(F.broadcast(rated), group_col)
+        .filter(sample_bucket(key, seed) < F.col("__thr"))
+        .drop("__thr")
+    )
