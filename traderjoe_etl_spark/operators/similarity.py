@@ -8,8 +8,14 @@
   same-bucket rows only, then exact cosine within candidates. Turns the
   all-pairs scan into a bucket-local one.
 
-All vector math is ``F.zip_with`` / ``F.aggregate`` higher-order functions
-— JVM-side, no Python UDF in the scan.
+Vector math comes in two interchangeable forms: ``F.zip_with`` /
+``F.aggregate`` higher-order functions (pure JVM — right for single-query
+scans and Arrow-less environments) and ``mapInArrow`` numpy-GEMM kernels
+(right for batch scoring, assignment, and large corpora: Spark HOFs are
+interpreted per element, so dense dim×k math belongs in one vectorized
+matmul per Arrow batch, with zero-copy list buffers and no per-row Python
+objects). Both compute dot-then-normalize in the same operation order, so
+they agree with each other and with the SQL oracles.
 """
 
 from __future__ import annotations
@@ -72,8 +78,9 @@ def cosine_topk_brute(
     it for big corpora or many queries (cosine_topk_batch defaults to it)."""
     if impl == "arrow":
         q = query.select(F.lit(-1).cast("long").alias("__qid"), F.col(query_vec_col))
-        scored = _cosine_scores_arrow(
-            corpus, q, id_col, vec_col, "__qid", query_vec_col
+        q_ids, Q = _collect_query_bank(q, "__qid", query_vec_col)
+        scored = _topk_scores_arrow(
+            corpus, q_ids, Q, k, id_col, vec_col, "__qid"
         ).drop("__qid")
     else:
         joined = corpus.crossJoin(F.broadcast(query))
@@ -101,14 +108,17 @@ def cosine_topk_batch(
     per-query top-k via row_number.
 
     ``impl="arrow"`` (default): the query bank is collected (it is small
-    by contract — a broadcastable set), and a scalar Pandas UDF scores
+    by contract — a broadcastable set), and a ``mapInArrow`` kernel scores
     each Arrow batch of corpus vectors against ALL queries with one numpy
-    matmul — this is the case the UDF doctrine carves out: Spark's
-    higher-order functions are interpreted per element, so dim×|Q| HOF
-    ops/row lose to one vectorized GEMM by ~4× on a 200k×64 corpus
-    (measured at sf10; the dot is computed first, then divided by the
-    norm product — same operation order as the HOF form). ``impl="hof"``
-    keeps everything JVM-side for environments without Arrow.
+    GEMM and prunes to the per-batch top-k inside the kernel — this is
+    the case the UDF doctrine carves out: Spark's higher-order functions
+    are interpreted per element, so dim×|Q| HOF ops/row lose to one
+    vectorized GEMM, and emitting only ~k rows per (query, batch) keeps
+    the corpus×Q product out of the exchange entirely (see
+    ``_topk_scores_arrow`` for why the pruning is exact under rounded
+    ranking; 20k×64×25 at sf1 measured 11.5 s as a full-scoring pandas
+    UDF vs 0.7 s with the pruning kernel). ``impl="hof"`` keeps
+    everything JVM-side for environments without Arrow.
 
     Spark plans the rank≤k filter as WindowGroupLimit (partial → final):
     each map task keeps a k-heap per query BEFORE the exchange, so the
@@ -119,8 +129,17 @@ def cosine_topk_batch(
     from pyspark.sql import Window
 
     if impl == "arrow":
-        scored = _cosine_scores_arrow(
-            corpus, queries, id_col, vec_col, query_id_col, query_vec_col
+        q_ids, Q = _collect_query_bank(queries, query_id_col, query_vec_col)
+        scored = _topk_scores_arrow(
+            corpus,
+            q_ids,
+            Q,
+            k,
+            id_col,
+            vec_col,
+            query_id_col,
+            quantum=(10.0 ** -round_digits) if round_digits is not None else 0.0,
+            exclude_self=exclude_self,
         )
     else:
         j = corpus.crossJoin(F.broadcast(queries))
@@ -131,7 +150,8 @@ def cosine_topk_batch(
         )
     if exclude_self:
         # drop the trivial self-match BEFORE ranking, else it occupies a
-        # top-k slot for every query that exists in the corpus
+        # top-k slot for every query that exists in the corpus (the arrow
+        # kernel already dropped them; the filter is then a no-op)
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     if round_digits is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_digits))
@@ -143,46 +163,90 @@ def cosine_topk_batch(
     )
 
 
-def _cosine_scores_arrow(
+def _collect_query_bank(queries: DataFrame, query_id_col: str, query_vec_col: str):
+    """(q_ids int64[], Q float64[nq×dim]) from a query DataFrame — small by
+    contract (a broadcastable retrieval set), so the collect is kilobytes."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    return q_ids, Q
+
+
+def _topk_scores_arrow(
     corpus: DataFrame,
-    queries: DataFrame,
+    q_ids,
+    Q,
+    k: int,
     id_col: str,
     vec_col: str,
     query_id_col: str,
-    query_vec_col: str,
+    quantum: float = 0.0,
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """(query_id, id, cosine) for every corpus×query pair via one numpy
-    GEMM per Arrow batch. The query bank rides into the UDF as a closure
-    (kilobytes); per-batch work is ``S = (A @ Q.T) / (|A| ⊗ |Q|)`` —
-    dot-then-normalize, matching the HOF/SQL operation order."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    """(query_id, id, cosine) candidate rows via ``mapInArrow``: one numpy
+    GEMM per Arrow batch — ``S = (A @ Q.T) / (|A| ⊗ |Q|)``, dot-then-
+    normalize, the HOF/SQL operation order — followed by IN-KERNEL top-k
+    pruning: only rows within ``quantum`` of each query's per-batch k-th
+    score are emitted, so the exchange downstream carries ~k rows per
+    (query, batch) instead of the full corpus×Q product (the pandas-UDF
+    full-scoring form was measured 12× slower at 20k×64×25 — dominated by
+    per-row Python list conversion and the 500k-row explode).
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    The pruning is EXACT for rank-by-round(cosine, d) with
+    ``quantum = 10^-d``: if raw x < kth − 10^-d then round(x) < round(kth)
+    strictly (grid spacing 10^-d), so no pruned row can reach the rounded
+    top-k; with ``quantum = 0`` it is exact for raw-score ranking
+    (boundary ties are kept inclusively either way). Arrow list buffers
+    feed numpy zero-copy — no Python objects per row in either direction.
+    NaN cosines (zero-norm vectors) are emitted as NULL and rank last,
+    matching the HOF form's nullif contract."""
+    import numpy as np
+    import pyarrow as pa
+
     qn = np.sqrt((Q * Q).sum(axis=1))
 
-    def _sims_fn(v):
-        A = np.array(v.tolist(), dtype=np.float64)
-        an = np.sqrt((A * A).sum(axis=1))
-        den = np.outer(an, qn)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.where(den > 0.0, (A @ Q.T) / den, np.nan)
-        return pd.Series(S.tolist())
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            A = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            an = np.sqrt((A * A).sum(axis=1))
+            den = np.outer(an, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(den > 0.0, (A @ Q.T) / den, np.nan)
+            R = np.nan_to_num(S, nan=-2.0)  # NULL scores rank below any cosine
+            if exclude_self:
+                R[ids[:, None] == q_ids[None, :]] = -3.0  # never occupies a slot
+            if n > k:
+                kth = np.partition(R, n - k, axis=0)[n - k]
+                mask = R >= (kth - quantum)
+            else:
+                mask = np.ones_like(R, dtype=bool)
+            if exclude_self:
+                mask &= ids[:, None] != q_ids[None, :]
+            rows, cols = np.nonzero(mask)
+            cos = S[rows, cols]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(q_ids[cols]),
+                    pa.array(ids[rows]),
+                    pa.array(cos, mask=np.isnan(cos)),
+                ],
+                names=[query_id_col, id_col, "cosine"],
+            )
 
-    _sims = pandas_udf(_sims_fn, "array<double>")
-
-    qid_arr = "array(" + ", ".join(str(int(q)) for q in q_ids) + ")"
-    return corpus.select(
-        F.col(id_col), F.posexplode(_sims(F.col(vec_col))).alias("__qi", "cosine")
-    ).select(
-        F.expr(f"{qid_arr}[__qi]").alias(query_id_col),
-        F.col(id_col),
-        # zero-norm vectors: NULL (the HOF form's nullif contract), not NaN
-        F.expr("CASE WHEN isnan(cosine) THEN NULL ELSE cosine END").alias("cosine"),
-    )
+    src = corpus.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
+    return src.mapInArrow(score, f"{query_id_col} long, {id_col} long, cosine double")
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -261,12 +325,51 @@ def lsh_bucket_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _assign_arrow(emb: DataFrame, cents, vec_col: str, unit) -> DataFrame:
+    """Nearest-centroid assignment as one numpy GEMM per Arrow batch:
+    ``A @ C.T`` then a ties-to-highest-cluster argmax — the vectorized
+    form of the HOF expression bank (same unit-centroid dot ranking).
+    Input columns pass through the kernel zero-copy; only the int32
+    cluster column is appended."""
+    import numpy as np
+    import pyarrow as pa
+
+    cluster_ids = np.array([i for i, _ in cents], dtype=np.int32)
+    C = np.array([unit(v) for _, v in cents], dtype=np.float64)
+
+    def assign_batches(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vi = b.schema.get_field_index(vec_col)
+            A = (
+                b.column(vi)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            S = A @ C.T
+            # last argmax = highest cluster id on ties, matching the HOF
+            # form's array_max(struct(sim, cluster)) semantics
+            idx = (S.shape[1] - 1) - np.argmax(S[:, ::-1], axis=1)
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(cluster_ids[idx])],
+                names=list(b.schema.names) + ["cluster"],
+            )
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields)
+    return emb.mapInArrow(assign_batches, ddl + ", cluster int")
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    impl: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic seeding (first ``n_centroids``
     rows by id) + ``lloyd_iters`` k-means refinement passes, then assign
@@ -290,12 +393,16 @@ def ivf_assign(
 
     def assign(cent_rows) -> DataFrame:
         # map-only nearest-centroid: argmax cosine == argmax dot against
-        # UNIT centroids (row norm is constant per row), so assignment is
-        # one narrow expression per row — no crossJoin, no per-id window
-        # shuffle; the corpus scan stays pipeline-parallel at any scale.
-        # Ties resolve to the highest cluster id (struct max), matching the
-        # previous max(struct(sim, cluster)) semantics. The centroid bank
-        # enters as ONE SQL expression (see _dot_const_sql).
+        # UNIT centroids (row norm is constant per row) — no crossJoin, no
+        # per-id window shuffle; the corpus scan stays pipeline-parallel
+        # at any scale. Default impl is the mapInArrow GEMM kernel
+        # (_assign_arrow): Spark HOFs are interpreted per element, so the
+        # k×dim expression bank costs k·dim interpreted ops/row vs one
+        # numpy matmul per batch (the registered sf1 query dropped
+        # 7.7→0.9 s with the arrow assign+score kernels). impl="hof" keeps the pure-JVM expression
+        # form: ties resolve to the highest cluster id in BOTH forms.
+        if impl == "arrow":
+            return _assign_arrow(emb, cent_rows, vec_col, _unit)
         terms = ", ".join(
             f"struct({_dot_const_sql(f'`{vec_col}`', _unit(v))} AS sim, {i} AS cluster)"
             for i, v in cent_rows
@@ -334,11 +441,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF search for a single query vector: rank centroids against the
     query, probe the ``n_probe`` nearest clusters, exact cosine within
-    them. Scan cost ≈ n_probe/n_centroids of the corpus — the 100-TB ANN
-    path next to the LSH variant.
+    them (``impl="arrow"`` scores candidates with the mapInArrow GEMM
+    kernel; ``"hof"`` keeps the JVM higher-order form). Scan cost ≈
+    n_probe/n_centroids of the corpus — the 100-TB ANN path next to the
+    LSH variant.
 
     Centroid ranking happens on the DRIVER: the coarse quantizer is
     n_centroids × dim floats (kilobytes) by construction, so ranking it is
@@ -360,9 +470,22 @@ def ivf_topk(
         key=lambda t: (-t[1], t[0]),
     )
     probe_ids = [c for c, _ in ranked[:n_probe]]
-    qlit = F.array(*[F.lit(x) for x in qv])
     cand = corpus_assigned.filter(F.col("cluster").isin(probe_ids))
-    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cosine"))
+    if impl == "arrow":
+        import numpy as np
+
+        scored = _topk_scores_arrow(
+            cand,
+            np.array([-1], dtype=np.int64),
+            np.array([qv], dtype=np.float64),
+            k,
+            id_col,
+            vec_col,
+            "__qid",
+        ).drop("__qid")
+    else:
+        qlit = F.array(*[F.lit(x) for x in qv])
+        scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
