@@ -207,3 +207,59 @@ def width_bucket_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         )
     )
+
+
+@query(
+    "frequent_event_types",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via the ``approx_top_k`` sketch aggregate (Spark 4):
+    one pass, mergeable partial sketches, fixed memory — the frequent-items
+    primitive for corpus profiling at scale. On a domain smaller than the
+    sketch's maxItemsTracked the counts are EXACT, which is what makes the
+    plain GROUP BY oracle valid here (5 event types ≪ 10000 tracked); on a
+    high-cardinality column the same query degrades gracefully to
+    approximate heavy hitters, where only a rows-only check would hold."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT item, count AS cnt
+        FROM (SELECT inline(approx_top_k(event_type, 5)) FROM events)
+        """
+    )
+
+
+@query(
+    "collated_brand_counts",
+    oracle="""
+    SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE p_brand END) AS brand,
+           count(*) AS n
+    FROM part
+    GROUP BY 1
+    """,
+)
+def collated_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via a collated string type (Spark 4
+    ``COLLATE UTF8_LCASE``): the mixed-case brand spellings (synthesized
+    deterministically from the key parity) collapse into one group each
+    WITHOUT rewriting the grouping key — the collation lives in the type,
+    so the same aggregation works on any pre-collated column. The emitted
+    key is normalized with lower() because a collated GROUP BY exposes an
+    arbitrary representative of each equivalence class; the oracle is the
+    classic lower()-rewrite, which is exactly the equivalence UTF8_LCASE
+    defines."""
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT lower(b) AS brand, count(*) AS n
+        FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE p_brand END
+                     COLLATE UTF8_LCASE AS b
+              FROM part)
+        GROUP BY b
+        """
+    )
