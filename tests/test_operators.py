@@ -419,3 +419,51 @@ def test_incremental_dedup_filters_cross_run_near_dups(spark, tmp_path):
     # store grew: a re-run of the SAME novel docs is now fully filtered
     out3 = incremental_dedup(novel, "doc_id", "text", store, update_store=False)
     assert out3.count() == 0
+
+
+def test_batch_topk_arrow_equals_hof_under_rounding(spark, emb):
+    """The arrow kernel's in-batch pruning must be invisible: for a batch
+    of query vectors with rounded ranking, impl='arrow' and impl='hof'
+    (full scoring, pure JVM) must return IDENTICAL result sets — including
+    self-exclusion and id tie-breaks at the rounding grid. Run at several
+    partition counts so the per-batch pruning boundary actually moves."""
+    from traderjoe_etl_spark.operators.similarity import cosine_topk_batch
+
+    queries = (
+        emb.filter(F.col("vec_id") % 37 == 1)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.cosine)
+            for r in df.select("query_id", "vec_id", "cosine").collect()
+        )
+
+    expected = rows(
+        cosine_topk_batch(emb, queries, k=5, round_digits=6, exclude_self=True, impl="hof")
+    )
+    assert len(expected) > 0
+    for parts in (1, 7):
+        got = rows(
+            cosine_topk_batch(
+                emb.repartition(parts), queries, k=5, round_digits=6,
+                exclude_self=True, impl="arrow",
+            )
+        )
+        assert got == expected, f"arrow/hof divergence at {parts} partitions"
+
+
+def test_brute_topk_arrow_equals_hof_raw(spark, emb):
+    """Single-query brute force: arrow pruning with quantum=0 (raw-score
+    ranking) must match the HOF plan exactly."""
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    hof = [(r.vec_id, round(r.cosine, 9)) for r in cosine_topk_brute(corpus, qdf, k=10).collect()]
+    arrow = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in cosine_topk_brute(corpus.repartition(5), qdf, k=10, impl="arrow").collect()
+    ]
+    assert [v for v, _ in hof] == [v for v, _ in arrow]
+    for (_, a), (_, b) in zip(hof, arrow):
+        assert abs(a - b) < 1e-9
