@@ -1,0 +1,149 @@
+"""Bloom-filter prefilter join.
+
+The 100-TB join-pushdown pattern between "broadcast the dim" and "shuffle
+both sides": when the build side is too large to broadcast as rows (say
+10^8 customer keys) but its *membership* fits in a few MB of bits, build a
+Bloom filter over the build keys, broadcast the bitmap as a literal, and
+filter the probe (fact) scan BEFORE its shuffle. False positives survive
+the prefilter but are removed by the exact join that follows, so the final
+result is byte-identical to the plain join — the bloom only shrinks the
+shuffle. Spark's own runtime bloom filters
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) do this
+automatically in narrow cases; this operator makes the pattern explicit,
+tunable, and usable on any key expression.
+
+Construction is fully distributed and uses only built-ins:
+
+1. per-key bit positions: k = ``num_hashes`` probes, position_i =
+   ``xxhash64(key, seed=i) mod m`` (one ``explode`` of a small literal
+   seed array — no Python),
+2. bitmap words: ``groupBy(position / 64)`` + ``bit_or(1 << (position %
+   64))`` — a map-side-combined aggregate whose shuffle carries at most
+   ``m/64`` longs regardless of build rows,
+3. the (word_index → word) pairs collect to the driver (``m/64`` longs —
+   for m = 2^23 bits that is 128 KiB; by construction sub-MB) and embed
+   in the probe plan as a dense array literal,
+4. membership test: for each seed, ``(words[pos >> 6] >> (pos & 63)) & 1``
+   — a pure JVM expression, whole-stage-codegen'd into the probe scan, so
+   the filter sits ON the scan before any Exchange.
+
+Reference anchor: the pipeline's user×pool work list joined against
+history (main.py:182-183) is the small-scale instance; at 100 TB the
+"history" side is the fact table and the work list is the build side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _optimal_bits(n_keys: int, fpp: float) -> int:
+    """Standard Bloom sizing: m = -n ln(p) / (ln 2)^2, rounded up to a
+    multiple of 64 with a small floor so tiny builds stay well-behaved."""
+    m = int(-n_keys * math.log(fpp) / (math.log(2) ** 2)) + 1
+    return max(256, (m + 63) // 64 * 64)
+
+
+def _positions(key: Column, num_hashes: int, m_bits: int) -> Column:
+    """Array of ``num_hashes`` bit positions for a key.
+
+    ``xxhash64`` with distinct seeds gives independent-enough hash
+    functions; ``pmod`` keeps positions non-negative."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(num_hashes)]
+    )
+
+
+def build_bloom(
+    build: DataFrame,
+    key: str | Column,
+    *,
+    expected_keys: int | None = None,
+    fpp: float = 0.01,
+    num_hashes: int = 5,
+) -> tuple[list[int], int, int]:
+    """Aggregate the build side into a Bloom bitmap.
+
+    Returns ``(words, m_bits, num_hashes)`` where ``words`` is the dense
+    ``m_bits / 64``-long bitmap. The only driver-side data is the bitmap
+    itself (sub-MB by sizing); build rows never leave the executors
+    un-aggregated — the shuffle after the partial ``bit_or`` carries at
+    most one row per bitmap word.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    if expected_keys is None:
+        expected_keys = build.select(key_col.alias("k")).agg(
+            F.approx_count_distinct("k").alias("n")
+        ).collect()[0]["n"]
+    m_bits = _optimal_bits(max(1, expected_keys), fpp)
+
+    pos = build.select(
+        F.explode(_positions(key_col, num_hashes, m_bits)).alias("pos")
+    )
+    # shiftleft with a *column* bit count needs call_function — the
+    # python wrapper only takes a literal int.
+    one_hot = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.pmod("pos", F.lit(64)).cast("int")
+    )
+    words = (
+        pos.groupBy(F.call_function("shiftright", F.col("pos"), F.lit(6)).alias("word_idx"))
+        .agg(F.bit_or(one_hot).alias("word"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for row in words:
+        dense[row["word_idx"]] = row["word"]
+    return dense, m_bits, num_hashes
+
+
+def might_contain(key: Column, words: list[int], m_bits: int, num_hashes: int) -> Column:
+    """Pure-JVM membership predicate over a literal bitmap.
+
+    ``element_at`` is 1-based; the whole expression inlines into the scan
+    stage (no UDF, no join), so Parquet row groups still prune on any
+    other pushed filters and the bloom test rides whole-stage codegen."""
+    bitmap = F.lit(words)
+    test = None
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(
+            bitmap, F.call_function("shiftright", pos, F.lit(6)).cast("int") + F.lit(1)
+        )
+        bit = (
+            F.call_function("shiftright", word, F.pmod(pos, F.lit(64)).cast("int"))
+            .bitwiseAND(F.lit(1))
+            == F.lit(1)
+        )
+        test = bit if test is None else (test & bit)
+    return test
+
+
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    *,
+    how: str = "inner",
+    fpp: float = 0.01,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Exact equi-join with a Bloom prefilter on the probe side.
+
+    Semantically identical to ``probe.join(build, on, how)`` for
+    ``how in ("inner", "semi" / "left_semi")`` — the bloom admits false
+    positives, and the exact join removes them; true matches always pass
+    (no false negatives). The win is that the probe's shuffle (or its
+    semi-join scan) only carries rows whose key is plausibly present:
+    at fpp=1% a 99%-selective join moves ~1% of the fact table plus noise.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(f"bloom prefilter preserves exactness only for inner/semi joins, got {how!r}")
+    words, m_bits, k = build_bloom(build, build_key, fpp=fpp, num_hashes=num_hashes)
+    pref = probe.where(might_contain(F.col(probe_key), words, m_bits, k))
+    if how in ("semi", "left_semi", "leftsemi"):
+        return pref.join(build, pref[probe_key] == build[build_key], "left_semi")
+    return pref.join(build, pref[probe_key] == build[build_key], "inner")
