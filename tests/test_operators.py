@@ -133,6 +133,27 @@ def test_cosine_near_dup_pairs_symmetric_and_thresholded(spark):
     assert all(r.cosine >= 0.99 for r in pairs)
 
 
+def test_cosine_near_dup_arrow_matches_hof(spark, sf_dir):
+    """The per-bucket GEMM kernel (the skewed-bucket scale path) must emit
+    the same pair set and 6dp-identical cosines as the HOF pair join."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def run(impl):
+        return (
+            cosine_near_dup_pairs(emb, 0.35, 64, n_planes=4, impl=impl)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("c"))
+        )
+
+    hof, arrow = run("hof"), run("arrow")
+    assert hof.count() > 0  # non-vacuous
+    assert hof.subtract(arrow).count() == 0
+    assert arrow.subtract(hof).count() == 0
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     import pandas as pd
 

@@ -150,3 +150,40 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("p90_acctbal"),
         "n_customers",
     ).orderBy("nationkey")
+
+
+@query(
+    "topk_sketch_rollup",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy hitters: ``approx_top_k_accumulate`` builds one
+    frequency-sketch state PER SHARD (here a hash of event_id — on a real
+    deployment the shard is a day/partition and the states persist in a
+    rollup table), ``approx_top_k_combine`` merges the states, and
+    ``_estimate`` reads the merged top-k. The merge consumes one sketch
+    row per shard — query time over a year of pre-aggregated shards is
+    independent of raw event volume, the same pattern kll_quantile_rollup
+    uses for quantiles. On a domain smaller than maxItemsTracked the
+    counts are exact (5 event types ≪ 100), so the plain GROUP BY oracle
+    holds; at real cardinalities the identical plan returns approximate
+    heavy hitters."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_for_topk")
+    return spark.sql(
+        """
+        WITH partials AS (
+            SELECT pmod(hash(event_id), 8) AS shard,
+                   approx_top_k_accumulate(event_type, 100) AS st
+            FROM events_for_topk
+            GROUP BY 1
+        )
+        SELECT item, count AS cnt
+        FROM (SELECT inline(approx_top_k_estimate(approx_top_k_combine(st, 100), 100))
+              FROM partials)
+        """
+    )

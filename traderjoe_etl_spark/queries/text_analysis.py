@@ -256,11 +256,32 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is set where the synthetic corpus has signal (max pairwise
     cosine ≈0.51 at sf0.01 — 0.95 would pass vacuously on 0 rows); the
     oracle replicates the deterministic plane bank, so this checks the
-    FULL approximate pipeline, not just the exact filter."""
+    FULL approximate pipeline, not just the exact filter.
+
+    The plane bank is CORPUS-ADAPTIVE (target ~64 vectors/bucket):
+    in-bucket pair work is ~n²/2^planes, so a pinned bank silently goes
+    quadratic as data grows — a pinned 4-plane bank at sf10 (200k vectors,
+    16 buckets) is ~1.25e9 candidate pairs, measured as a multi-hour stall
+    in the registry scale audit. Adaptive sizing gives 12 planes there
+    (~5M pairs, seconds). At the driver's oracle scale (500 vectors) the
+    formula lands on exactly 4 planes, which is the bank the static oracle
+    SQL inlines — parity holds for any corpus up to 960 vectors, and
+    beyond that only the (unchecked) approximate recall changes, never
+    pair correctness: emitted cosines are always exact."""
+    import math
+
     from ..operators.similarity import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=4)
+    n = emb.count()
+    n_planes = max(4, math.ceil(math.log2(max(n, 1) / 64 + 1)))
+    # Physical strategy by corpus size, AQE-style: the JVM HOF pair join at
+    # oracle scale (bit-compatible with the sequential-sum oracle), the
+    # per-bucket GEMM kernel once pair volume dominates (duplicate clusters
+    # collide into shared buckets, so big corpora are pair-bound; parity of
+    # the two impls is pinned by tests/test_operators.py).
+    impl = "arrow" if n >= 10_000 else "hof"
+    out = cosine_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=n_planes, impl=impl)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
