@@ -36,12 +36,16 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    import sys as _sys
+
     for name in sorted(qs):
+        print(f"... {name}", file=_sys.stderr, flush=True)  # hang forensics
         try:
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
+            print(f"    {name} {times[name]}s", file=_sys.stderr, flush=True)
         except Exception as exc:  # keep sweeping; report at the end
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
 

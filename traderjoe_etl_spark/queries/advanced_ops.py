@@ -127,6 +127,14 @@ def _events_stream(spark: SparkSession, sf_dir: str, prefix: str):
 
 
 def _drain(agg: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drain a bounded-state stream into a driver memory table.
+
+    ONLY for complete-mode aggregates whose state/result is small (window ×
+    type cardinality); append-mode firehoses must use ``_drain_to_files``
+    (a memory sink holds every emitted row on the driver heap). A timed-out
+    drain STOPS the query and raises — a live background stream after a
+    timeout starves the local scheduler of task slots and wedges every
+    later job in the session (observed as a silent audit hang at sf10)."""
     q = (
         agg.writeStream.outputMode(mode)
         .format("memory")
@@ -134,7 +142,47 @@ def _drain(agg: DataFrame, name: str, mode: str = "complete") -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"streaming drain {name!r} exceeded 600s; query stopped")
+
+
+def _drain_to_files(out: DataFrame, prefix: str, rocksdb: bool = False) -> str:
+    """Drain an append-mode stream to a parquet directory — the DISTRIBUTED
+    sink: emitted rows go executor→files, never collecting on the driver
+    (an append-mode memory sink at sf10 is ~15M rows of driver heap; this
+    is what a real deployment writes anyway). ``rocksdb=True`` scopes the
+    RocksDB state-store provider to this drain, so large keyed state
+    (e.g. one entry per event_id in a dedup) lives on local disk instead
+    of executor heap — the 100-TB state backend. Returns the output dir."""
+    spark = out.sparkSession
+    d = tempfile.mkdtemp(prefix=prefix)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    if rocksdb:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", d + "/data")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"streaming file drain {prefix!r} exceeded 600s; query stopped")
+    finally:
+        if rocksdb:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+    return d + "/data"
 
 
 @query(
@@ -254,8 +302,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click"
     )
     joined = stream_stream_interval_join(purchases, clicks, within="1 hour")
-    _drain(joined, "__stream_interval_join", mode="append")
-    return spark.table("__stream_interval_join").select(
+    # Append-mode join output and both sides' join state are O(events) —
+    # distributed file sink + RocksDB state, same rationale as
+    # stream_dedup_events (driver memory sink wedged the sf10 audit).
+    out_dir = _drain_to_files(joined, "stream_ij_out_", rocksdb=True)
+    return spark.read.parquet(out_dir).select(
         F.col("event_id").alias("purchase_id"),
         F.col("event_id_r").alias("click_id"),
         "user_id",
@@ -293,8 +344,14 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("append").parquet(d)
     src = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
     deduped = stream_dedup(src, keys=["event_id"], watermark="2 hours")
-    _drain(deduped, "__stream_dedup_events", mode="append")
-    return spark.table("__stream_dedup_events").select(
+    # Distributed file sink + RocksDB state: the dedup keeps one state
+    # entry per event_id, and append mode emits the full deduped stream —
+    # both are O(|events|), so neither may land on the driver heap (a
+    # memory-sink drain at sf10 exhausted the heap, killed task threads,
+    # and leaked every local scheduler core — the session then hung on the
+    # NEXT job with 0 running tasks).
+    out_dir = _drain_to_files(deduped, "stream_dedup_out_", rocksdb=True)
+    return spark.read.parquet(out_dir).select(
         "event_id",
         "user_id",
         "event_type",
