@@ -284,6 +284,20 @@ def test_rolling_hash_fingerprints_match_pure_python(spark):
         assert got[doc_id] == (len(hashes), minima), f"doc {doc_id} fingerprint mismatch"
 
 
+def test_rolling_hash_arrow_kernel_matches_hof(spark, sf_dir):
+    """The numpy winnowing kernel must emit integer-identical rows to the
+    JVM HOF form on the real corpus (incl. the short-doc filter)."""
+    from traderjoe_etl_spark.operators.text import rolling_hash_fingerprints
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hof = rolling_hash_fingerprints(docs, "doc_id", "text", impl="hof")
+    arrow = rolling_hash_fingerprints(docs, "doc_id", "text", impl="arrow")
+    assert hof.count() == arrow.count() > 0
+    assert hof.subtract(arrow).count() == 0
+    assert arrow.subtract(hof).count() == 0
+
+
 def test_rolling_hash_fingerprints_shift_invariance(spark):
     """Winnowing's point: fingerprints of a shifted copy overlap heavily,
     while a whole-document digest would differ completely."""

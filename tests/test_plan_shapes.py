@@ -147,3 +147,21 @@ def test_join_strategy_hints_are_honored(spark):
         j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert op in plan, f"hint {hint!r} did not plan {op}: {plan[:500]}"
+
+
+def test_text_profile_tokenizes_once(spark):
+    """text_profile computes four token-based metrics; the token split must
+    be projected once and referenced, not re-inlined per metric (HOF/split
+    expressions are not CSE'd, and CollapseProject must not merge the
+    two-step shape because a non-cheap alias referenced 4x is kept)."""
+    from traderjoe_etl_spark.operators.text import text_profile
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        text_profile(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, f"tokenizer inlined {plan.count('split(')}x"

@@ -185,6 +185,34 @@ def _drain_to_files(out: DataFrame, prefix: str, rocksdb: bool = False) -> str:
     return d + "/data"
 
 
+def _drain_complete_to_files(agg: DataFrame, prefix: str) -> str:
+    """Drain a COMPLETE-mode aggregate distributed: ``foreachBatch``
+    overwrites a parquet dir with each trigger's full result, so the final
+    trigger leaves the complete result on disk, executor-written. Complete
+    mode is required when trailing windows would never pass the watermark
+    (e.g. the last session per key under availableNow), but a memory sink
+    would put the ENTIRE result on the driver heap — fine for a rollup of
+    a few thousand groups, not for per-key session tables at corpus scale.
+    Returns the output dir."""
+    spark = agg.sparkSession
+    d = tempfile.mkdtemp(prefix=prefix)
+
+    def write_batch(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(d + "/data")
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"complete-mode drain {prefix!r} exceeded 600s; query stopped")
+    return d + "/data"
+
+
 @query(
     "stream_sliding_rollup",
     oracle="""
@@ -261,8 +289,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     src = _events_stream(spark, sf_dir, "stream_sess_")
     agg = session_window_agg(src, gap="30 minutes", watermark="0 seconds")
-    _drain(agg, "__stream_session_windows")
-    return spark.table("__stream_session_windows").select(
+    # Complete mode is semantics (trailing sessions never pass the final
+    # watermark in append), but the result is one row per session — a
+    # per-key table that must not collect on the driver; foreachBatch
+    # overwrite keeps the drain distributed.
+    out_dir = _drain_complete_to_files(agg, "stream_sess_out_")
+    return spark.read.parquet(out_dir).select(
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "user_id",

@@ -435,7 +435,10 @@ def rolling_hash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import rolling_hash_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    fps = rolling_hash_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    # arrow kernel: integer-exact equal to the HOF form (pinned by test),
+    # ~10× faster at corpus scale — safe to use at ANY sf because the
+    # fingerprints are modular-arithmetic-defined, impl-independent values.
+    fps = rolling_hash_fingerprints(docs, "doc_id", "text", k=8, window=4, impl="arrow")
     return fps.select(
         "doc_id",
         "n_grams",
