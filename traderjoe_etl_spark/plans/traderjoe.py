@@ -127,12 +127,16 @@ def _history_summary(inputs: SnapshotInputs) -> DataFrame:
 
 def _render_float(col: Column, strict_repr: bool) -> Column:
     """Double → string for the packed bin strings: JVM rendering by default;
-    Python-repr (pandas UDF) under strict parity mode, where the byte form
-    must match the reference's f-strings (§2C.1 deviation closed)."""
+    CPython-repr bytes under strict parity mode, where the byte form must
+    match the reference's f-strings (§2C.1 deviation closed). Strict mode
+    uses the pure-expression renderer (functions/pyrepr.py) — byte-exact
+    for the packed amount domain (|x| < 2^53) with no Python worker stage;
+    functions.udfs.py_float_repr is the anywhere-exact pandas-UDF form the
+    parity tests compare against."""
     if strict_repr:
-        from ..functions.udfs import py_float_repr
+        from ..functions.pyrepr import py_float_repr_expr
 
-        return py_float_repr(col)
+        return py_float_repr_expr(col)
     return col.cast("string")
 
 

@@ -407,8 +407,18 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
+    # bucket_agg pairing: the whole query is ONE lazy plan (signatures →
+    # band buckets → in-bucket pairs, each band entry consumed once), so
+    # re-executing the returned DataFrame re-runs the full pipeline — no
+    # persist lifecycle, no checkpoint materialization hiding work from
+    # benchmark timings. self_join (+scoped persist) remains the operator's
+    # alternative for skew-prone corpora.
     return minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text", hash_family="portable"
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        hash_family="portable",
+        pair_strategy="bucket_agg",
     )
 
 

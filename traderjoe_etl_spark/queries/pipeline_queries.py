@@ -34,7 +34,11 @@ _PLAN_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 def _synth_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, SnapshotInputs]:
     events = read_table(spark, sf_dir, "events")
-    nation = read_table(spark, sf_dir, "nation").limit(N_POOLS)
+    # the N_POOLS lowest nation keys (keys are dense from 0), as a pushed
+    # scan filter — a limit() here would cost a LocalLimit→Exchange→
+    # GlobalLimit round per use of the pools relation and depend on file
+    # row order; the filter is order-robust and free
+    nation = read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < N_POOLS)
 
     # one selectExpr call per relation (vs hundreds of composed-Column py4j
     # round trips — see BENCH.md plan-build notes); semantics unchanged,
@@ -125,7 +129,7 @@ pools AS (
            n_nationkey * 1.5 + 1        AS fees_1d,
            n_nationkey * 1.5 + 1        AS fees_1h
     FROM nation
-    WHERE n_nationkey IN (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT {N_POOLS})
+    WHERE n_nationkey < {N_POOLS}
 ),
 hist AS (
     SELECT {_ADDR_U} AS user_address, {_ADDR_P} AS pool_address,

@@ -18,7 +18,7 @@ from ..operators.joins import broadcast_dim_join
 from ..operators.topk import top_k, top_k_per_group
 from ..operators.windows import moving_agg, sessionize, snapshot_delta
 from ..session import apply_runtime_confs
-from ..sources.tables import read_table
+from ..sources.tables import read_table, table_bytes
 from . import query
 
 
@@ -268,6 +268,31 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_region = orders.join(
         F.broadcast(enr), orders.o_custkey == F.col("c_custkey")
     ).select("o_orderkey", "r_name")
+    # Stats-adaptive physical strategy (what a CBO does from table stats):
+    # when the whole orderkey→region map fits a broadcast (orders parquet
+    # < 96 MB on disk — sf1-ish), probe it ON THE LINEITEM SCAN and do ONE
+    # region-level aggregate: zero fact-side shuffles, the exchange carries
+    # |regions|×partitions long partials. The exact scaled-long sums are
+    # associative, so regrouping per-row instead of per-order cannot change
+    # a single bit of the result. Beyond broadcast size, keep the per-order
+    # partial + co-keyed shuffle join — the 100-TB plan.
+    if 0 < table_bytes(sf_dir, "orders") < 96 * 1024 * 1024:
+        return (
+            li.join(F.broadcast(order_region), li.l_orderkey == F.col("o_orderkey"))
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(
+                *fixed_sum_aggs("rev", "l_extendedprice * (1 - l_discount)", 4),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+            .select(
+                "region",
+                F.expr(
+                    "CAST(__rev_hi AS DOUBLE) * 100.0"
+                    " + CAST(__rev_lo AS DOUBLE) / 10000.0 AS revenue"
+                ),
+                "n_lineitems",
+            )
+        )
     return (
         per_order.join(order_region, per_order.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("r_name").alias("region"))

@@ -48,6 +48,25 @@ NANOS_TS_COLS = {"events": ("ts",)}
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of one table — the cheap cardinality statistic
+    queries use to pick between physical strategies (e.g. broadcast-probe
+    vs per-key pre-aggregation), exactly as a cost-based optimizer would
+    read table stats from a metastore. Returns 0 when unknown (missing
+    path → callers fall through to the conservative at-scale plan)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one synthetic table."""
     if name not in TABLE_NAMES:
