@@ -42,6 +42,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# One flagship query per operator family (SURVEY.md §2 / the LLM-pipeline
+# mandate): relational agg / star join / argmax / as-of / window top-k /
+# sessionization / rollup / semi-structured / exact dedup / MinHash LSH /
+# SimHash / ANN (brute + batch + IVF) / quality scoring / language-ID /
+# text profiling / winnowing fingerprints / the end-to-end reference
+# pipeline. The text+dedup families were added in r3 — they are named
+# first-class components of the engine's mandate and were previously the
+# only families with no headline representation.
 HEADLINE = [
     "pricing_summary",
     "revenue_by_region",
@@ -53,9 +61,13 @@ HEADLINE = [
     "json_props_stats",
     "dedup_exact",
     "minhash_near_dup",
+    "simhash_near_dup",
     "cosine_topk",
     "cosine_topk_batch",
     "quality_scores",
+    "lang_id_counts",
+    "text_profile_full",
+    "rolling_hash_fingerprints",
     "snapshot_pipeline",
     "ivf_cosine_topk",
 ]
@@ -85,12 +97,17 @@ def _duck_conn(sf_dir: str):
 
 def _bench_dir(spark, qs, osql, sf_dir: str, *, shuffle_partitions: int | None = None) -> dict:
     if shuffle_partitions is not None:
-        # tiny-input reducer sizing: at sub-GB scale 32 reducers per stage
-        # are pure task-dispatch overhead; AQE would coalesce them anyway
-        # but a small initial count skips the coalesce round entirely. The
-        # sf1 section keeps the session default (defaultParallelism).
+        # tiny-input sizing: at sub-GB scale 32 reducers per stage are pure
+        # task-dispatch overhead; AQE would coalesce them anyway but a small
+        # initial count skips the coalesce round entirely. Likewise a 1 MB
+        # file-open cost splits a 10 MB table into ~10 scan tasks whose
+        # dispatch dwarfs their work — 8 MB keeps tiny scans at 1-2 tasks.
+        # The sf1 section keeps the session defaults (defaultParallelism /
+        # 1 MB), which are sized for CPU-bound multi-MB scans.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
 
     spark_t: dict[str, float] = {}
     for name in HEADLINE:
@@ -113,6 +130,8 @@ def _bench_dir(spark, qs, osql, sf_dir: str, *, shuffle_partitions: int | None =
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            if best > 5.0:  # slow query: one timed run is representative
+                break
         spark_t[name] = round(best, 3)
         spark.catalog.clearCache()  # queries must not inherit earlier persists
 
@@ -128,12 +147,15 @@ def _bench_dir(spark, qs, osql, sf_dir: str, *, shuffle_partitions: int | None =
                 t0 = time.perf_counter()
                 con.execute(osql[name]).fetchall()
                 best = min(best, time.perf_counter() - t0)
+                if best > 5.0:  # same early-out rule as the Spark side
+                    break
             duck_t[name] = round(best, 3)
         con.close()
     except Exception:
         duck_t = {}
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
     comparable = [n for n in duck_t if n in spark_t]
     s_cmp = sum(spark_t[n] for n in comparable)

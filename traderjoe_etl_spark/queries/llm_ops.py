@@ -307,10 +307,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_fingerprint, simhash_hex_chunks
 
     docs = _t(spark, sf_dir, "documents")
-    # Scoped persist (minhash_lsh_candidates pattern): the self-join reads
-    # the fingerprints twice; localCheckpoint(eager) truncates the result's
-    # lineage so the cache can be released before returning.
-    fp = simhash_fingerprint(docs, "doc_id", "text", hash_family="md5").persist()
+    # Bucket-collect pairing (same shape as minhash's bucket_agg): bands
+    # group to (band, key) buckets whose member list explodes to in-bucket
+    # pairs — the fingerprint pass is consumed ONCE, so the whole query is
+    # a single lazy plan with no persist/checkpoint lifecycle (an earlier
+    # self-join form needed a scoped persist to avoid recomputing the
+    # token pass per side). Bucket width is ~n/2^16 per band by pigeonhole,
+    # so the collected lists stay small; a degenerate fingerprint cluster
+    # is the same skew ceiling the minhash docstring documents.
+    fp = simhash_fingerprint(docs, "doc_id", "text", hash_family="md5")
     chunks = simhash_hex_chunks("simhash")
     bands = fp.select(
         "doc_id",
@@ -324,28 +329,29 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key"
+    buckets = bands.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))).alias("ms")
     )
-    c = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key"
-    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "y -> struct(x.doc_id AS id_a, x.simhash AS fp_a, "
+                "y.doc_id AS id_b, y.simhash AS fp_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.fp_a", "p.id_b", "p.fp_b")
     ham_a = simhash_hex_chunks("fp_a")
     ham_b = simhash_hex_chunks("fp_b")
     hamming = sum(
         (F.bit_count(ham_a[i].bitwiseXOR(ham_b[i])) for i in range(4)), F.lit(0)
     )
-    try:
-        pairs = (
-            a.join(c, ["band", "key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= 3)
-            .distinct()
-        )
-        return pairs.localCheckpoint(eager=True)
-    finally:
-        fp.unpersist()
+    return (
+        pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
 
 
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
