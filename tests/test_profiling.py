@@ -40,3 +40,15 @@ def test_profile_approx_close_to_exact(spark, sf_dir):
     exact = {r["column"]: r["n_distinct"] for r in profile_columns(ev, distinct="exact").collect()}
     approx = {r["column"]: r["n_distinct"] for r in profile_columns(ev, distinct="approx").collect()}
     assert abs(approx["user_id"] - exact["user_id"]) <= 0.15 * exact["user_id"]
+
+
+def test_profile_exact_mode_has_no_expand(spark, sf_dir):
+    """Exact-distinct mode must NOT plan the N-distinct Expand (it
+    replicates every row N times); each distinct count is its own narrow
+    two-phase aggregate stitched on with broadcast joins."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    plan = (
+        profile_columns(ev, distinct="exact")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan

@@ -524,9 +524,23 @@ def cosine_near_dup_pairs(
     bucket loads are skewed and the per-pair row overhead dominates
     (measured at 200k vectors / 12 planes: 115 s hof → GEMM seconds; the
     plane bank cannot fix this because the collisions are the signal).
-    Both impls emit the same pairs; GEMM dot products reassociate the sum,
-    so cosines can differ in the last ulp — callers that hash-compare
-    round to ≤6 dp (the repo-wide oracle rule)."""
+    Both impls emit the same pairs up to float associativity: GEMM dot
+    products reassociate the sum, so cosines can differ in the last ulp —
+    callers that hash-compare round to ≤6 dp (the repo-wide oracle rule),
+    and a cosine sitting within 1 ulp of ``threshold`` itself can flip
+    pair MEMBERSHIP between impls (none of the synthetic corpora place a
+    pair that close; a caller that needs impl-stable membership should
+    round before thresholding). ``impl="arrow"`` additionally requires an
+    integral id column (the kernel's schema is ``id_a long``); non-integer
+    ids (strings, UUIDs) must use the hof path or map through a surrogate
+    key first."""
+    if impl == "arrow":
+        id_type = dict(emb.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"cosine_near_dup_pairs(impl='arrow') needs an integral id column; "
+                f"{id_col!r} is {id_type!r} — use impl='hof' or add a surrogate key"
+            )
     if n_planes is None:
         import math
 
@@ -555,11 +569,16 @@ def _near_dup_pairs_arrow(bucketed: DataFrame, threshold: float) -> DataFrame:
 
     One Arrow batch per bucket (``groupBy(bucket).applyInPandas``): sort by
     id so index order == id order (pairs emitted as id_a < id_b exactly
-    like the join path), L2-normalize once, then score in 2048-row blocks
-    — peak kernel memory is block×bucket doubles, never bucket², so even a
-    degenerate million-row duplicate cluster stays bounded. Zero-norm
-    vectors get NaN cosine and drop at the threshold, matching the HOF
-    path's ``nullif`` NULL."""
+    like the join path), L2-normalize once, then score in 2048-row blocks.
+    Blocking bounds the SCORE MATRIX at block×bucket doubles (never
+    bucket²), but the bucket's ids + vectors still materialize in one
+    Python worker — a degenerate million-row duplicate cluster at dim=64
+    is ~0.5 GB of float64 plus pandas overhead in a single group. That is
+    the operator's skew ceiling: pre-collapse exact duplicates
+    (dedup_exact) first, or add planes / sub-bucket an over-threshold
+    group, before feeding a corpus whose largest near-dup cluster
+    approaches worker memory. Zero-norm vectors get NaN cosine and drop
+    at the threshold, matching the HOF path's ``nullif`` NULL."""
     import numpy as np
     import pandas as pd
 

@@ -3,6 +3,8 @@ streaming rollup surfaced as a batch-checkable query."""
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,7 +93,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import windowed_event_agg
 
     apply_runtime_confs(spark)
-    d = tempfile.mkdtemp(prefix="stream_src_")
+    d = _scratch_dir("stream_src_")
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -115,10 +117,34 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scratch dirs created by the streaming drains, keyed by prefix. Without
+# bookkeeping a sf10 audit leaves O(events) of parquet under /tmp PER QUERY
+# PER INVOCATION (ADVICE r02): creating a new drain dir reaps the previous
+# one for the same prefix (the only live reference pattern — callers build
+# a fresh plan per invocation), and whatever remains is removed at exit.
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch_dir(prefix: str) -> str:
+    old = _SCRATCH.pop(prefix, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH[prefix] = d
+    return d
+
+
+@atexit.register
+def _reap_scratch() -> None:
+    for d in _SCRATCH.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH.clear()
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, prefix: str):
     """events table → file-backed streaming source (availableNow drains it
     deterministically; the same builders run against live sources)."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = _scratch_dir(prefix + "src-")
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -156,7 +182,7 @@ def _drain_to_files(out: DataFrame, prefix: str, rocksdb: bool = False) -> str:
     (e.g. one entry per event_id in a dedup) lives on local disk instead
     of executor heap — the 100-TB state backend. Returns the output dir."""
     spark = out.sparkSession
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = _scratch_dir(prefix)
     key = "spark.sql.streaming.stateStore.providerClass"
     prior = spark.conf.get(key, None)
     if rocksdb:
@@ -195,7 +221,7 @@ def _drain_complete_to_files(agg: DataFrame, prefix: str) -> str:
     a few thousand groups, not for per-key session tables at corpus scale.
     Returns the output dir."""
     spark = agg.sparkSession
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = _scratch_dir(prefix)
 
     def write_batch(batch_df: DataFrame, _epoch: int) -> None:
         batch_df.write.mode("overwrite").parquet(d + "/data")
@@ -368,7 +394,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_dedup
 
     apply_runtime_confs(spark)
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    d = _scratch_dir("stream_dedup_")
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -236,30 +236,41 @@ def having_in_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (returnflag stands in for receipt-late): keep 'R'
     lines whose order has OTHER suppliers (EXISTS) but no OTHER supplier
-    with an 'R' line (NOT EXISTS). The correlated pair decorrelates into ONE
-    per-order aggregate — n_suppliers, n_r_suppliers, and (to make
-    "other supplier with R" exact when the candidate itself is the R one)
-    the single r-supplier key — joined back broadcast. One lineitem
-    aggregation replaces two correlated re-scans; the classic manual
-    rewrite of the worst query in TPC-H."""
+    with an 'R' line (NOT EXISTS). One pass, no self-join, no broadcast of
+    anything fact-sized:
+
+    1. level-1 aggregate to (orderkey, suppkey, r_lines) — a map-side-
+       combined shuffle that also collapses the per-(order, supplier) line
+       multiplicity the correlated predicates don't care about;
+    2. per-order supplier counts (n_supp, n_r_supp) as WINDOW aggregates
+       over the level-1 rows — reuses the orderkey partitioning, no second
+       fact shuffle and no Expand (an earlier form used two countDistinct
+       aggregates, which Spark plans as a 3× row Expand, and then
+       broadcast the |orders|-sized result — hundreds of MB at sf10);
+    3. a supplier qualifies in an order iff it has R lines (r_lines > 0),
+       others exist (n_supp > 1), and it is the SOLE R supplier
+       (n_r_supp == 1); its R lines all count, so numwait per supplier is
+       sum(r_lines) over qualifying orders — only the tiny supplier dim is
+       broadcast for names."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_r_supp"),
-        F.min(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("one_r_supp"),
+    lvl1 = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+    )
+    w = Window.partitionBy("l_orderkey")
+    lvl2 = lvl1.select(
+        "l_suppkey",
+        "r_lines",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum((F.col("r_lines") > 0).cast("int")).over(w).alias("n_r_supp"),
     )
     supp = read_table(spark, sf_dir, "supplier")
-    cand = li.filter(F.col("l_returnflag") == "R")
     return (
-        cand.join(F.broadcast(per_order), cand.l_orderkey == per_order.po_orderkey)
-        # other suppliers exist on the order…
-        .filter(F.col("n_supp") > 1)
-        # …and no OTHER supplier has an R line: either this line's supplier is
-        # the only R supplier, i.e. n_r_supp == 1 and it is this supplier.
-        .filter((F.col("n_r_supp") == 1) & (F.col("one_r_supp") == F.col("l_suppkey")))
+        lvl2.filter((F.col("r_lines") > 0) & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 

@@ -247,74 +247,77 @@ def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_FILL_MAX_HOURS = 168  # forward-fill horizon: one week per gap
+
+
 @query(
     "gap_fill_hourly",
-    oracle="""
-    WITH hours AS (
-        SELECT user_id, unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS hour
-        FROM (
-            SELECT user_id,
-                   date_trunc('hour', min(ts)) AS h_min,
-                   date_trunc('hour', max(ts)) AS h_max
-            FROM events GROUP BY user_id
-        )
-    ),
-    actual AS (
+    oracle=f"""
+    WITH actual AS (
         SELECT user_id, date_trunc('hour', ts) AS hour,
                round(sum(value), 4) AS hour_value
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    seg AS (
+        SELECT user_id, hour, hour_value,
+               lead(hour) OVER (PARTITION BY user_id ORDER BY hour) AS nxt
+        FROM actual
     )
-    SELECT h.user_id,
-           strftime(h.hour, '%Y-%m-%d %H:00') AS hour,
-           CAST(a.hour_value IS NOT NULL AS INT) AS observed,
-           coalesce(a.hour_value,
-                    last_value(a.hour_value IGNORE NULLS) OVER (
-                        PARTITION BY h.user_id ORDER BY h.hour
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-               AS filled_value
-    FROM hours h LEFT JOIN actual a ON a.user_id = h.user_id AND a.hour = h.hour
+    SELECT s.user_id,
+           strftime(t.h, '%Y-%m-%d %H:00') AS hour,
+           CAST(t.h = s.hour AS INT) AS observed,
+           s.hour_value AS filled_value
+    FROM seg s
+    CROSS JOIN unnest(generate_series(
+        s.hour,
+        CASE WHEN s.nxt IS NULL THEN s.hour
+             ELSE least(s.nxt - INTERVAL 1 HOUR,
+                        s.hour + INTERVAL {_GAP_FILL_MAX_HOURS} HOUR) END,
+        INTERVAL 1 HOUR)) AS t(h)
     """,
 )
 def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill + forward-fill (the hypertable rollup
-    pattern): per-user dense hourly spine generated with
-    sequence()/explode (distributed — each user's spine materializes on
-    its own partition, never on the driver), left join of the actual
-    hourly rollup, then last_value(IGNORE NULLS) to carry observations
-    forward across the gaps. Spine join and rollup both hash on user_id,
-    so the join is co-partitioned with the window that follows."""
+    pattern), segment form with a bounded fill horizon: each observed hour
+    forward-fills up to the next observation or ``_GAP_FILL_MAX_HOURS``,
+    whichever is sooner. Two properties make this the 100-TB shape:
+
+    - output is bounded by |observations| × horizon — one dormant user
+      returning after a year cannot emit a year of dense spine rows (the
+      unbounded min..max spine was the single largest output in the sf10
+      audit at ~1e9 rows);
+    - the fill value rides the generated segment itself, so there is NO
+      spine⋈actual join and NO last_value window — one hourly rollup, one
+      lead() window on the already-aggregated rows, one generator.
+
+    For series whose every gap is within the horizon the result is
+    row-identical to the unbounded gap-fill."""
     events = _t(spark, sf_dir, "events")
-    spine = (
-        events.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("h_min"),
-            F.date_trunc("hour", F.max("ts")).alias("h_max"),
-        )
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
     actual = events.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.round(F.sum("value"), 4).alias("hour_value"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = actual.select(
+        "user_id",
+        "hour",
+        "hour_value",
+        F.lead("hour").over(Window.partitionBy("user_id").orderBy("hour")).alias("nxt"),
     )
-    return (
-        spine.join(actual, ["user_id", "hour"], "left")
-        .select(
-            "user_id",
-            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
-            F.col("hour_value").isNotNull().cast("int").alias("observed"),
-            F.coalesce(
-                "hour_value", F.last("hour_value", ignorenulls=True).over(w)
-            ).alias("filled_value"),
+    fill_end = F.when(F.col("nxt").isNull(), F.col("hour")).otherwise(
+        F.least(
+            F.col("nxt") - F.expr("INTERVAL 1 HOUR"),
+            F.col("hour") + F.expr(f"INTERVAL {_GAP_FILL_MAX_HOURS} HOUR"),
         )
+    )
+    return seg.select(
+        "user_id",
+        F.explode(F.sequence("hour", fill_end, F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        F.col("hour").alias("obs_hour"),
+        "hour_value",
+    ).select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        (F.col("h") == F.col("obs_hour")).cast("int").alias("observed"),
+        F.col("hour_value").alias("filled_value"),
     )
 
 
