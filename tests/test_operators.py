@@ -504,31 +504,29 @@ def test_brute_topk_arrow_equals_hof_raw(spark, emb):
         assert abs(a - b) < 1e-9
 
 
-def test_text_profile_fingerprint_families_same_partition(spark):
-    """The xxhash64 (deployment default, rows-only in the registry) and
-    md5 (portable, oracle-checked) fingerprint families must induce the
-    SAME duplicate partition of a corpus: docs sharing an md5 fingerprint
-    share an xxhash64 fingerprint and vice versa — the family changes the
-    hash VALUES, never which documents fingerprint together."""
+def test_text_profile_fingerprint_families_exact_dup_classes(spark):
+    """Family-independent guarantees of the min-over-shingles fingerprint:
+    docs with IDENTICAL shingle sets share a fingerprint under BOTH hash
+    families (min of the same hashed set), and the seeded all-distinct
+    docs get all-distinct fingerprints under both. (NEAR-duplicates may
+    collide under one family and not the other — that per-instance
+    randomness is the MinHash property itself, so it is deliberately NOT
+    asserted.)"""
     from traderjoe_etl_spark.operators.text import text_profile
 
     rows = []
     base = "the quick brown fox jumps over the lazy dog again and again today"
+    dup_ids, uniq_ids = [], []
     for i in range(40):
         if i % 4 == 0:
             rows.append((i, base))  # exact dup cluster
-        elif i % 4 == 1:
-            rows.append((i, base + f" tail{i}"))  # shared long prefix
+            dup_ids.append(i)
         else:
             rows.append((i, f"doc {i} unique words here number {i * 7} end of line"))
+            uniq_ids.append(i)
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {}
     for fam in ("xxhash64", "md5"):
         prof = text_profile(docs, "doc_id", "text", fingerprint_hash=fam)
-        groups = (
-            prof.groupBy("fingerprint")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .collect()
-        )
-        out[fam] = sorted(tuple(r["ids"]) for r in groups)
-    assert out["xxhash64"] == out["md5"]
+        fp = {r["doc_id"]: r["fingerprint"] for r in prof.collect()}
+        assert len({fp[i] for i in dup_ids}) == 1, fam
+        assert len({fp[i] for i in uniq_ids}) == len(uniq_ids), fam
