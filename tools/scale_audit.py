@@ -1,6 +1,9 @@
 """Scale audit: time EVERY registered query at a benchdata dir.
 
-Usage: python tools/scale_audit.py [sf_dir] [threshold_sec]
+Usage: python tools/scale_audit.py [sf_dir] [threshold_sec] [name...]
+
+Trailing name args restrict the sweep to those queries (targeted
+re-audit after changing a subset).
 
 The headline bench (bench.py) tracks 15 queries; this sweep times the
 whole registry (noop sink, one run each) and prints one JSON line with
@@ -26,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf10"
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
+    only = set(sys.argv[3:])
 
     from traderjoe_etl_spark.queries import queries
     from traderjoe_etl_spark.session import get_spark
@@ -33,6 +37,8 @@ def main() -> None:
     spark = get_spark("scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}

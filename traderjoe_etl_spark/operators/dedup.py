@@ -327,15 +327,23 @@ def minhash_lsh_candidates(
             .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
             .filter(F.size("ids") >= 2)
         )
-        pairs = buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        ).select("p.id_a", "p.id_b")
+        # Stream in-bucket pairs through TWO generators: posexplode the
+        # member list, then explode each member's tail slice. A single
+        # flatten(transform(...)) would materialize the whole k²/2 pair
+        # array per bucket row before the generator — a degenerate
+        # duplicate cluster (every copy shares every band) OOMs the
+        # executor that way (observed at sf10); the two-generator form
+        # keeps live memory O(k) and streams the k² rows into the
+        # map-side-combined pair count.
+        pairs = (
+            buckets.select(F.posexplode("ids").alias("__i", "id_a"), "ids")
+            .select(
+                "id_a",
+                F.explode(
+                    F.expr("slice(ids, __i + 2, size(ids) - __i - 1)")
+                ).alias("id_b"),
+            )
+        )
         return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_shared"))
     if pair_strategy != "self_join":
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")

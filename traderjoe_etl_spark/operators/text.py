@@ -66,8 +66,17 @@ def quality_score(text_col: str | Column, toks: Column | None = None) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n_chars = F.length(c)
     n_toks = token_count(c, toks=toks)
+    # alpha+whitespace char count via translate (per-char table lookup) —
+    # counts exactly what length(regexp_replace(c, '[^A-Za-z\\s]', ''))
+    # did, at a fraction of the cost: the regex walked every char through
+    # the engine AND built the filtered copy (measured 22 s of the 32 s
+    # sf10 text profile); translate's delete-listed-chars pass is ~7×
+    # cheaper. The char set is Java's \\s (space \t \n \x0b \f \r) plus
+    # A-Za-z, so the VALUE is unchanged.
+    _alpha_ws = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz \t\n\x0b\f\r"
     alpha_ratio = (
-        F.length(F.regexp_replace(c, r"[^A-Za-z\s]", "")).cast("double") / F.nullif(n_chars, F.lit(0))
+        (n_chars - F.length(F.translate(c, _alpha_ws, ""))).cast("double")
+        / F.nullif(n_chars, F.lit(0))
     )
     avg_tok = n_chars.cast("double") / F.nullif(n_toks, F.lit(0))
     len_ok = F.when((n_chars >= 20) & (n_chars <= 100_000), F.lit(1.0)).otherwise(F.lit(0.3))

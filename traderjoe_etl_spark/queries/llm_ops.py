@@ -317,38 +317,50 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the same skew ceiling the minhash docstring documents.
     fp = simhash_fingerprint(docs, "doc_id", "text", hash_family="md5")
     chunks = simhash_hex_chunks("simhash")
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), chunks[i].alias("key"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    buckets = bands.groupBy("band", "key").agg(
-        F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))).alias("ms")
+    # parse the hex fingerprint into its four 16-bit chunk INTS once per
+    # document and carry those through banding — the per-PAIR Hamming then
+    # costs 4 int xor+bit_counts instead of 8 conv(substring(hex)) string
+    # parses. At sf10 the banded candidate set is ~2e8 pairs (correlated
+    # synthetic simhashes collide heavily on 16-bit keys), so per-pair
+    # constant factors are the whole game.
+    withc = fp.select(
+        "doc_id", *[chunks[i].alias(f"c{i}") for i in range(4)]
     )
-    pairs = buckets.select(
+    bands = withc.select(
+        "doc_id",
+        *[F.col(f"c{i}") for i in range(4)],
         F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms) - i - 1), "
-                "y -> struct(x.doc_id AS id_a, x.simhash AS fp_a, "
-                "y.doc_id AS id_b, y.simhash AS fp_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.fp_a", "p.id_b", "p.fp_b")
-    ham_a = simhash_hex_chunks("fp_a")
-    ham_b = simhash_hex_chunks("fp_b")
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"c{i}").alias("key")) for i in range(4)])
+        ).alias("b"),
+    ).select("doc_id", "c0", "c1", "c2", "c3", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    buckets = bands.groupBy("band", "key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "c0", "c1", "c2", "c3"))
+        ).alias("ms")
+    ).filter(F.size("ms") >= 2)
+    # two-generator streaming pair expansion (same O(k)-live-memory shape
+    # as minhash's bucket_agg — a flatten(transform(...)) materializes the
+    # whole k² pair array per degenerate duplicate bucket and OOMs)
+    pairs = (
+        buckets.select(F.posexplode("ms").alias("__i", "__x"), "ms")
+        .select(
+            "__x",
+            F.explode(F.expr("slice(ms, __i + 2, size(ms) - __i - 1)")).alias("__y"),
+        )
+    )
     hamming = sum(
-        (F.bit_count(ham_a[i].bitwiseXOR(ham_b[i])) for i in range(4)), F.lit(0)
+        (
+            F.bit_count(F.col(f"__x.c{i}").bitwiseXOR(F.col(f"__y.c{i}")))
+            for i in range(4)
+        ),
+        F.lit(0),
     )
     return (
-        pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        pairs.select(
+            F.col("__x.doc_id").alias("id_a"),
+            F.col("__y.doc_id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
