@@ -55,6 +55,7 @@ def load_all() -> None:
         pipeline_queries,
         reference_semantics,
         relational,
+        retrieval,
         scale_ops,
         sql_surface_extras,
         stateful_queries,

@@ -1,0 +1,319 @@
+"""Retrieval & corpus-curation queries (north-star LLM-pipeline surface).
+
+The retrieval family a training-data platform runs next to dedup/quality:
+term statistics (TF-IDF), ranked retrieval (BM25), the inverted index
+those are served from, exact-substring duplication (the Lee et al.
+"Deduplicating Training Data" signal, as shared long-token-span
+detection), and per-source quota curation. Every query is pure DataFrame
+composition over the shared tokenizer (operators/text.tokens — identical
+to the DuckDB oracles' regexp_split_to_array) and each carries a full SQL
+oracle.
+
+Scale notes (the shapes, not the constants, are what matter at 100 TB):
+- term stats flow through ONE (doc, term) partial-aggregated shuffle;
+  document frequencies ride a second |vocab|-sized aggregate — never a
+  per-row join against the corpus;
+- BM25 broadcasts the (tiny) query-term stats and the two scalar corpus
+  aggregates; the corpus is scanned once;
+- the inverted index caps posting samples with slice() AFTER array_sort,
+  so the shuffle carries per-term sets, not per-row pairs;
+- exact-substring pairs reuse the streaming two-generator in-bucket
+  expansion (see operators/dedup.py) — a degenerate boilerplate span
+  shared by k docs streams its k² pairs instead of materializing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import tokens
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+_TOK_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+def _term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — one exploded pass, partial-aggregated."""
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOK_SQL}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS s
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, round(s, 6) AS score, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, sklearn's
+    ``ln((N+1)/(df+1)) + 1`` form). One exploded corpus pass feeds both
+    the per-doc term counts and the |vocab|-sized document-frequency
+    aggregate; N is a broadcast 1-row scalar. Ties (ubiquitous on a small
+    vocabulary) break on the term itself, so the result set is
+    deterministic; ln() is the only transcendental and both engines round
+    it away at 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = _term_freqs(docs)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "s",
+            F.col("tf") * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("s", 6).alias("score"), "rk")
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM toks),
+    tf AS (
+        SELECT doc_id, u AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS u FROM toks)
+        WHERE u IN {_BM25_TERMS!r}
+        GROUP BY doc_id, u
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                       + {_BM25_B} * dl.dl / stats.avgdl))) AS s
+        FROM tf JOIN df USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS score, rk
+    FROM (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query-term set,
+    top-20 documents. The per-term document frequencies and the two corpus
+    scalars (N, avgdl) are broadcast; the corpus contributes one exploded
+    pass pre-filtered to the query terms — at 100 TB that filter sits on
+    the scan and the whole score pipeline shuffles |matching (doc, term)|
+    rows, not the corpus. Per-term partials sum per doc (BM25 is additive
+    over query terms); ties break on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * F.col("tf") * (k1 + F.lit(1.0))
+        / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", F.round("s", 6).alias("score"), "rk")
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOK_SQL}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY doc_id, w
+    )
+    SELECT term,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           array_to_string(list_sort(list(doc_id))[1:5], ',') AS posting_head
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= 2
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency, total term count,
+    and the first 5 doc ids of the sorted posting list. The posting-head
+    cap (slice AFTER array_sort) bounds what leaves the aggregate — the
+    full posting list for a stopword-like term at 100 TB is the corpus
+    itself, so an indexer materializes postings to a sink in shards; this
+    query is the per-term statistics + head-sample form of that build."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = _term_freqs(docs)
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_head"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+_SPAN_K = 16
+
+
+@query(
+    "exact_substring_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOK_SQL} AS w FROM documents
+    ),
+    spans AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) AS h
+        FROM toks, unnest(range(1, len(w) - {_SPAN_K - 2})) AS t(i)
+        WHERE len(w) >= {_SPAN_K}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_spans
+    FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication between documents: pairs sharing at
+    least one identical 16-token span (the long-n-gram signal behind
+    suffix-array training-data dedup — arXiv:2107.06499 — expressed as
+    span-hash collision instead of a suffix array). Distinct (doc, span
+    hash) pairs stream through ONE shuffle; pair expansion uses the
+    two-generator in-bucket stream so a boilerplate span shared by k
+    documents never materializes its k² pairs in memory. n_shared_spans
+    counts distinct shared spans per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w")).filter(
+        F.size("w") >= _SPAN_K
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (_SPAN_K - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _SPAN_K))),
+            )
+        ).alias("h"),
+    ).distinct()
+    buckets = (
+        spans.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("__i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, __i + 2, size(ids) - __i - 1)")).alias("id_b"),
+        )
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_spans"))
+
+
+@query(
+    "source_quota_sample",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, source,
+               (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
+               * (CASE WHEN CAST(length(text) AS DOUBLE)
+                         / nullif(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)
+                       BETWEEN 2 AND 12 THEN 1.0 ELSE 0.5 END)
+               * coalesce((length(text) -
+                   length(regexp_replace(text, '[A-Za-z \\t\\n\\x0b\\f\\r]', '', 'g')))
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS qs
+        FROM documents
+    )
+    SELECT source, doc_id, round(qs, 6) AS quality, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY qs DESC, doc_id) AS rk
+          FROM q)
+    WHERE rk <= 3
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation quota: keep the 3 highest-quality documents per
+    source (crawl-domain balancing — the 'no domain may dominate the mix'
+    curation rule). quality_score is the shared heuristic from
+    operators/text.py; ranking is a per-source window over the scored
+    scan, so the shuffle carries (source, doc, score) and each source's
+    quota resolves independently — domain-parallel at any scale. Ties
+    break on doc_id."""
+    from ..operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", quality_score("text").alias("qs"))
+    w = Window.partitionBy("source").orderBy(F.desc("qs"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", F.round("qs", 6).alias("quality"), "rk")
+    )
