@@ -317,3 +317,66 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "doc_id", F.round("qs", 6).alias("quality"), "rk")
     )
+
+
+@query(
+    "corpus_version_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2edit')
+                    ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+               md5(text || ' v2new') AS h
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version CDC: classify every document across two crawl
+    versions as added / removed / changed / unchanged by comparing content
+    fingerprints under a FULL OUTER join on doc_id — the dataset-versioning
+    diff a pipeline runs between crawls before deciding what to reprocess.
+    Version 2 is derived deterministically from the driver corpus (10%
+    deletions, 1-in-7 edits, 1-in-13 additions) so the oracle replays the
+    identical derivation. Fingerprints (16-byte md5) ride the shuffle, not
+    document text — at 100 TB the diff moves hashes, and only the
+    'changed'/'added' partitions are re-read downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    max_id = docs.agg((F.max("doc_id") + 1).alias("m"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.md5(F.concat("text", F.lit(" v2edit"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0)
+            .join(F.broadcast(max_id))
+            .select(
+                (F.col("doc_id") + F.col("m")).alias("doc_id"),
+                F.md5(F.concat("text", F.lit(" v2new"))).alias("h"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
