@@ -530,3 +530,48 @@ def test_text_profile_fingerprint_families_exact_dup_classes(spark):
         fp = {r["doc_id"]: r["fingerprint"] for r in prof.collect()}
         assert len({fp[i] for i in dup_ids}) == 1, fam
         assert len({fp[i] for i in uniq_ids}) == len(uniq_ids), fam
+
+
+def test_revenue_by_region_paths_agree(spark, sf_dir):
+    """The stats-adaptive broadcast-probe plan and the per-order-partial
+    shuffle plan must produce IDENTICAL rows (exact scaled-long sums are
+    associative, so regrouping cannot change a bit). Force each path via
+    the orders-size threshold seam."""
+    import unittest.mock as um
+
+    from traderjoe_etl_spark.queries import relational as rel
+
+    fast = rel.revenue_by_region(spark, sf_dir)  # small fixture → broadcast path
+    with um.patch.object(rel, "table_bytes", lambda *_: 10**12):  # force at-scale plan
+        slow = rel.revenue_by_region(spark, sf_dir)
+    assert "BroadcastHashJoin" in fast._jdf.queryExecution().executedPlan().toString()
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b
+
+
+def test_gap_fill_horizon_bounds_output(spark):
+    """A gap longer than the fill horizon truncates at the horizon (the
+    100-TB output bound); gaps within it fill densely with the previous
+    observation's value."""
+    from traderjoe_etl_spark.queries import windows_scalars as ws
+
+    rows = [
+        (1, "2026-01-01 00:30:00", 10.0),
+        (1, "2026-01-01 03:30:00", 20.0),          # 3h gap → dense fill
+        (2, "2026-01-01 00:30:00", 5.0),
+        (2, "2026-03-01 00:30:00", 6.0),           # ~59 days → truncated at 168h
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    import unittest.mock as um
+
+    with um.patch.object(ws, "_t", lambda *_a, **_k: df):
+        out = ws.gap_fill_hourly(spark, "ignored")
+    per_user = {r["user_id"]: r["n"] for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user[1] == 4  # 00:00,01:00,02:00 filled + 03:00 observed
+    assert per_user[2] == ws._GAP_FILL_MAX_HOURS + 1 + 1  # capped segment + last obs
+    u1 = {r["hour"]: (r["observed"], r["filled_value"]) for r in out.filter("user_id = 1").collect()}
+    assert u1["2026-01-01 01:00"] == (0, 10.0) and u1["2026-01-01 02:00"] == (0, 10.0)
+    assert u1["2026-01-01 00:00"][0] == 1 and u1["2026-01-01 03:00"][0] == 1
