@@ -575,3 +575,53 @@ def test_gap_fill_horizon_bounds_output(spark):
     u1 = {r["hour"]: (r["observed"], r["filled_value"]) for r in out.filter("user_id = 1").collect()}
     assert u1["2026-01-01 01:00"] == (0, 10.0) and u1["2026-01-01 02:00"] == (0, 10.0)
     assert u1["2026-01-01 00:00"][0] == 1 and u1["2026-01-01 03:00"][0] == 1
+
+
+def test_incremental_embedding_dedup(spark, tmp_path):
+    """Cross-run vector dedup against the persistent bucket store: run 2
+    drops vectors landing in run 1's buckets (near-identical vectors by
+    construction), keeps orthogonal-ish novel ones, and appends only the
+    newly-occupied buckets."""
+    from traderjoe_etl_spark.operators.similarity import (
+        incremental_embedding_dedup,
+        lsh_bucket_key,
+        random_hyperplanes,
+    )
+
+    store = str(tmp_path / "emb_store")
+    dim = 8
+
+    def vec(base, eps):
+        return [float(b) + eps for b in base]
+
+    a, b = [1, 0, 2, 0, 1, 3, 0, 1], [-2, 1, 0, 4, -1, 0, 2, -3]
+    batch1 = spark.createDataFrame(
+        [(1, vec(a, 0.0)), (2, vec(b, 0.0))], "vec_id long, embedding array<double>"
+    )
+    out1 = incremental_embedding_dedup(batch1, store, dim=dim)
+    assert sorted(r["vec_id"] for r in out1.collect()) == [1, 2]  # empty store keeps all
+
+    batch2 = spark.createDataFrame(
+        [
+            (3, vec(a, 1e-6)),   # near-dup of 1 → same sign bucket → dropped
+            (4, vec(b, -1e-6)),  # near-dup of 2 → dropped
+            (5, [float(x) for x in [5, -5, 5, -5, 5, -5, 5, -5]]),  # novel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = incremental_embedding_dedup(batch2, store, dim=dim)
+    kept = sorted(r["vec_id"] for r in out2.collect())
+    planes = random_hyperplanes(dim, 12)
+    bkeys = {
+        r["vec_id"]: r["k"]
+        for r in batch1.unionByName(batch2)
+        .select("vec_id", lsh_bucket_key("embedding", planes).alias("k"))
+        .collect()
+    }
+    assert bkeys[3] == bkeys[1] and bkeys[4] == bkeys[2]  # the premise holds
+    expected = [5] if bkeys[5] not in (bkeys[1], bkeys[2]) else []
+    assert kept == expected
+    # store holds exactly the distinct occupied buckets
+    stored = {r["bucket"] for r in spark.read.parquet(store).collect()}
+    assert stored == {bkeys[1], bkeys[2]} | ({bkeys[5]} if expected else set())
+    assert out2.columns == ["vec_id", "embedding"]

@@ -619,3 +619,62 @@ def _near_dup_pairs_arrow(bucketed: DataFrame, threshold: float) -> DataFrame:
     return bucketed.groupBy("__bucket").applyInPandas(
         score, "id_a long, id_b long, cosine double"
     )
+
+
+def incremental_embedding_dedup(
+    new_batch: DataFrame,
+    store_path: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    update_store: bool = True,
+) -> DataFrame:
+    """Cross-run embedding-space near-duplicate filter: keep only the
+    vectors of a new batch whose sign-LSH bucket is NOT already occupied
+    by the persistent store — the vector-side sibling of
+    ``operators.dedup.incremental_dedup`` ("dedup this batch against every
+    embedding ever accepted" without re-scanning the corpus).
+
+    The store is an append-only parquet of occupied bucket keys — one
+    short string per accepted vector, id-free and vector-free, so it is
+    tiny next to the corpus and streams through the join. The plane bank
+    is FIXED by (dim, n_planes, seed) — it must be, for keys to be
+    comparable across runs — so unlike the in-corpus
+    :func:`cosine_near_dup_pairs` it cannot auto-size to the corpus;
+    pick ``n_planes`` for the expected FINAL corpus (buckets ≈ 2^planes)
+    and re-key the store if the corpus outgrows it.
+
+    Semantics are candidate-level and conservative, exactly like the
+    minhash store: a bucket collision DROPS the new vector (P(collision)
+    for cosine θ is (1 − θ_angle/π)^planes — steep for near-dups, nonzero
+    for neighbors); pipelines that need exactness keep vectors alongside
+    and verify survivors' cosines before dropping.
+
+    Plan: map-only bucket keys for the batch → LEFT ANTI against the
+    store → survivors' keys appended (computed once, one extra write).
+    """
+    spark = new_batch.sparkSession
+    planes = random_hyperplanes(dim, n_planes, seed=seed)
+    keyed = new_batch.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
+    try:
+        store = spark.read.schema("bucket STRING").parquet(store_path)
+        have_store = True
+    except Exception:
+        have_store = False
+    if have_store:
+        novel = keyed.join(
+            store, keyed["__bucket"] == store["bucket"], "left_anti"
+        )
+    else:
+        novel = keyed
+    if update_store:
+        # distinct: one row per newly-occupied bucket, however many batch
+        # vectors share it (they are each other's dups; first run keeps
+        # them all — in-corpus pairing is the tool for intra-batch dups)
+        novel.select(F.col("__bucket").alias("bucket")).distinct().write.mode(
+            "append"
+        ).parquet(store_path)
+    return novel.drop("__bucket").localCheckpoint(eager=True)

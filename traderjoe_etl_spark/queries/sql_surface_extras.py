@@ -263,3 +263,61 @@ def collated_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b
         """
     )
+
+
+@query(
+    "try_arithmetic_showcase",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                    ELSE l_extendedprice / (l_orderkey % 3) END AS td,
+               CASE WHEN CAST(l_orderkey AS HUGEINT) * 4000000000000000000
+                         BETWEEN -9223372036854775808 AND 9223372036854775807
+                    THEN CAST(l_orderkey * 4000000000000000000 AS BIGINT) END AS tm,
+               CASE WHEN l_returnflag = 'R' THEN NULL
+                    ELSE CAST(try_cast('12.34' AS DECIMAL(4,2)) AS DOUBLE) END AS tn
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) - count(td) AS n_div_null,
+           round(avg(td), 4) AS avg_div,
+           count(tm) AS n_mul_ok,
+           count(*) - count(tn) AS n_num_null,
+           round(avg(tn), 4) AS avg_num
+    FROM base GROUP BY l_returnflag
+    """,
+)
+def try_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic family (Spark 4 ``try_*``): ``try_divide``
+    yields NULL on a zero divisor instead of Infinity/raise, ``try_multiply``
+    NULLs 64-bit overflow (every orderkey >= 3 overflows against 4e18),
+    ``try_to_number`` NULLs unparseable strings — the lenient-cast doctrine
+    (P7/P10) extended to arithmetic, which is what keeps a 100-TB pipeline
+    alive on the one poisoned row in shard 90000. The oracle emulates each
+    with CASE (DuckDB HUGEINT for the overflow check); the try_to_number
+    DECIMAL result is cast to DOUBLE on both sides (the repo's
+    decimal-compare rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_orderkey") % 3).alias("td"),
+        F.try_multiply(
+            F.col("l_orderkey"), F.lit(4000000000000000000).cast("long")
+        ).alias("tm"),
+        F.try_to_number(
+            F.when(F.col("l_returnflag") == "R", F.lit("x")).otherwise(F.lit("12.34")),
+            F.lit("99.99"),
+        )
+        .cast("double")
+        .alias("tn"),
+    )
+    return base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("td")).alias("n_div_null"),
+        F.round(F.avg("td"), 4).alias("avg_div"),
+        F.count("tm").alias("n_mul_ok"),
+        (F.count(F.lit(1)) - F.count("tn")).alias("n_num_null"),
+        F.round(F.avg("tn"), 4).alias("avg_num"),
+    )
