@@ -107,3 +107,23 @@ def sqrt_temperature_mix(
         .filter(sample_bucket(key, seed) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def weighted_sample_key(key: Column | str, weight: Column, seed: str = "42") -> Column:
+    """Efraimidis–Spirakis weighted-reservoir sort key: ``u^(1/w)`` with a
+    deterministic hash-uniform ``u`` in (0, 1). Taking the k LARGEST keys
+    per group draws a without-replacement sample where P(selection) is
+    proportional to ``weight`` — the quality-weighted corpus-selection
+    primitive ("sample 1M docs, better docs more often") — and because u
+    is a pure function of (seed, key), the SAME rows are selected under
+    any partitioning, engine, or re-run.
+
+    Map-only; combine with a per-group window top-k (the k-heap rides
+    WindowGroupLimit before the exchange) or a global top-k. Weights must
+    be > 0; rows with NULL/<=0 weight get key NULL and sort last."""
+    c = F.col(key) if isinstance(key, str) else key
+    # u = (bucket + 1) / (2^32 + 1)  — strictly inside (0, 1) so ln/pow are finite
+    u = (
+        F.conv(sample_bucket(c, seed), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(_SPAN + 1))
+    return F.when(weight > 0, F.pow(u, F.lit(1.0) / weight))

@@ -283,13 +283,13 @@ def exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT doc_id, source,
-               (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
+               round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
                * (CASE WHEN CAST(length(text) AS DOUBLE)
                          / nullif(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)
                        BETWEEN 2 AND 12 THEN 1.0 ELSE 0.5 END)
                * coalesce((length(text) -
                    length(regexp_replace(text, '[A-Za-z \\t\\n\\x0b\\f\\r]', '', 'g')))
-                   / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS qs
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS qs
         FROM documents
     )
     SELECT source, doc_id, round(qs, 6) AS quality, rk
@@ -379,4 +379,57 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
+    )
+
+
+@query(
+    "quality_weighted_sample",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, source,
+               round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
+               * (CASE WHEN CAST(length(text) AS DOUBLE)
+                         / nullif(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)
+                       BETWEEN 2 AND 12 THEN 1.0 ELSE 0.5 END)
+               * coalesce((length(text) -
+                   length(regexp_replace(text, '[A-Za-z \\t\\n\\x0b\\f\\r]', '', 'g')))
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) + 0.05 AS w
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, source, w,
+               pow((CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0)
+                   / 4294967297.0, 1.0 / w) AS sk
+        FROM q
+    )
+    SELECT source, doc_id, round(w, 6) AS weight, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY sk DESC, doc_id) AS rk
+          FROM keyed)
+    WHERE rk <= 5
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED without-replacement sampling, 5 docs per source
+    (Efraimidis–Spirakis A-Res via operators/sampling.weighted_sample_key):
+    selection probability proportional to quality (+0.05 floor so
+    zero-quality docs stay sampleable), membership a pure function of
+    (seed, doc_id) — the same rows come back under any partitioning or
+    engine, which is what makes the DuckDB oracle replay the full draw.
+    Map-only scoring + a per-source WindowGroupLimit top-k; contrast with
+    source_quota_sample (deterministic best-k) and hash_sample_orders
+    (unweighted rate)."""
+    from ..operators.sampling import weighted_sample_key
+    from ..operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", (quality_score("text") + F.lit(0.05)).alias("w")
+    )
+    keyed = scored.withColumn("sk", weighted_sample_key("doc_id", F.col("w")))
+    win = Window.partitionBy("source").orderBy(F.desc("sk"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", F.round("w", 6).alias("weight"), "rk")
     )
