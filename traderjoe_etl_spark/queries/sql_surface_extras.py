@@ -272,10 +272,14 @@ def collated_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                CASE WHEN l_orderkey % 3 = 0 THEN NULL
                     ELSE l_extendedprice / (l_orderkey % 3) END AS td,
-               CASE WHEN CAST(l_orderkey AS HUGEINT) * 4000000000000000000
+               CASE WHEN CAST(CASE WHEN l_orderkey % 997 = 0
+                                   THEN 9000000000000000000 ELSE 2 END AS HUGEINT)
+                         * l_orderkey
                          BETWEEN -9223372036854775808 AND 9223372036854775807
-                    THEN CAST(l_orderkey * 4000000000000000000 AS BIGINT) END AS tm,
-               CASE WHEN l_returnflag = 'R' THEN NULL
+                    THEN CAST(CASE WHEN l_orderkey % 997 = 0
+                                   THEN 9000000000000000000 ELSE 2 END * l_orderkey AS BIGINT)
+               END AS tm,
+               CASE WHEN l_orderkey % 991 = 0 THEN NULL
                     ELSE CAST(try_cast('12.34' AS DECIMAL(4,2)) AS DOUBLE) END AS tn
         FROM lineitem
     )
@@ -291,23 +295,29 @@ def collated_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def try_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe arithmetic family (Spark 4 ``try_*``): ``try_divide``
-    yields NULL on a zero divisor instead of Infinity/raise, ``try_multiply``
-    NULLs 64-bit overflow (every orderkey >= 3 overflows against 4e18),
-    ``try_to_number`` NULLs unparseable strings — the lenient-cast doctrine
-    (P7/P10) extended to arithmetic, which is what keeps a 100-TB pipeline
-    alive on the one poisoned row in shard 90000. The oracle emulates each
-    with CASE (DuckDB HUGEINT for the overflow check); the try_to_number
-    DECIMAL result is cast to DOUBLE on both sides (the repo's
-    decimal-compare rule)."""
+    yields NULL on a zero divisor instead of Infinity/raise,
+    ``try_multiply`` NULLs 64-bit overflow, ``try_to_number`` NULLs
+    unparseable strings — the lenient-cast doctrine (P7/P10) extended to
+    arithmetic, which is what keeps a 100-TB pipeline alive on the one
+    poisoned row in shard 90000. The poisoned cases are deliberately RARE
+    (1-in-997 overflow, 1-in-991 bad parse): Spark's try_* failure path is
+    a caught per-row exception, so a query where failure is the COMMON
+    case pays exception cost per row (measured: an all-overflow variant
+    took 478 s at sf10 vs single-digit seconds with rare failures — try_*
+    is poison-tolerance, not bulk NULL arithmetic; use plain CASE guards
+    when most rows are expected to fail). The oracle emulates each with
+    CASE (DuckDB HUGEINT for the overflow window); the try_to_number
+    DECIMAL result is cast to DOUBLE on both sides."""
     li = _t(spark, sf_dir, "lineitem")
+    big_or_2 = F.when(
+        F.col("l_orderkey") % 997 == 0, F.lit(9000000000000000000)
+    ).otherwise(F.lit(2)).cast("long")
     base = li.select(
         "l_returnflag",
         F.try_divide(F.col("l_extendedprice"), F.col("l_orderkey") % 3).alias("td"),
-        F.try_multiply(
-            F.col("l_orderkey"), F.lit(4000000000000000000).cast("long")
-        ).alias("tm"),
+        F.try_multiply(big_or_2, F.col("l_orderkey")).alias("tm"),
         F.try_to_number(
-            F.when(F.col("l_returnflag") == "R", F.lit("x")).otherwise(F.lit("12.34")),
+            F.when(F.col("l_orderkey") % 991 == 0, F.lit("x")).otherwise(F.lit("12.34")),
             F.lit("99.99"),
         )
         .cast("double")
