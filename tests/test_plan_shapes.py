@@ -149,6 +149,19 @@ def test_join_strategy_hints_are_honored(spark):
         assert op in plan, f"hint {hint!r} did not plan {op}: {plan[:500]}"
 
 
+def test_tfidf_bm25_df_is_aggregated_not_windowed(spark, qs):
+    """Document frequency must come from a partial+final aggregate and
+    ride a broadcast back onto the term rows — never from
+    count(*) OVER (PARTITION BY term): a window partition ships every
+    (doc, term) row of a term to ONE task, so at 100 TB a stopword's df
+    partition is billions of rows on a single core (VERDICT r03 #1)."""
+    for name in ("tfidf_top_terms", "bm25_search"):
+        f = plan_facts(qs[name](spark, SF))
+        assert "windowspecdefinition(term" not in f.text.lower(), name
+        # df joins back as a broadcast (plus the 1-row corpus scalars)
+        assert f.n_broadcasts >= 2, name
+
+
 def test_text_profile_tokenizes_once(spark):
     """text_profile computes four token-based metrics; the token split must
     be projected once and referenced, not re-inlined per metric (HOF/split

@@ -75,24 +75,41 @@ def _term_freqs(docs: DataFrame) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, sklearn's
-    ``ln((N+1)/(df+1)) + 1`` form). One exploded corpus pass feeds both
-    the per-doc term counts and the |vocab|-sized document-frequency
-    aggregate; N is a broadcast 1-row scalar. Ties (ubiquitous on a small
+    ``ln((N+1)/(df+1)) + 1`` form). Term frequencies come from one
+    exploded corpus pass; document frequencies from a second
+    distinct-terms pass that partial-aggregates to |vocab| rows and
+    broadcasts back (no per-term window — see the inline scale note);
+    N is a broadcast 1-row scalar. Ties (ubiquitous on a small
     vocabulary) break on the term itself, so the result set is
     deterministic; ln() is the only transcendental and both engines round
     it away at 6 dp."""
     docs = _t(spark, sf_dir, "documents")
     tf = _term_freqs(docs)
-    # document frequency as a WINDOW count over the tf rows (tf is one row
-    # per (doc, term), so count-per-term IS df). One corpus pass: a
-    # separate tf.groupBy(term) branch re-ran the whole explode+aggregate
-    # — Spark only reuses exchanges whose subtrees canonicalize equal, and
-    # column pruning broke that (measured 35 s vs 4.5 s warm at sf10).
-    # The term-partition window is a |tf|-row sort, far cheaper than a
-    # second exploded corpus pass.
+    # Document frequency rides its OWN partial-aggregated pass: explode
+    # array_distinct(tokens) -> groupBy(term).count(). Map-side combine
+    # collapses each task's contribution to <=|vocab| rows before the
+    # shuffle, so no single task ever holds a stopword's full posting
+    # partition — the r3 window-over-term form (count(*) OVER (PARTITION BY
+    # term)) shipped every (doc, term) row of a term to ONE task, which at
+    # 100 TB is |docs-containing-the-stopword| rows on one core. The df
+    # relation is |vocab|-sized and broadcasts back onto tf. Cost of the
+    # second tokenize scan at sf10: none measured (window 4.66 s vs this
+    # form 4.64 s, min-of-4); chosen over persist()ing tf because a
+    # corpus-scale cache write+read is dearer than a second
+    # embarrassingly-parallel scan, and a persisted relation leaks across
+    # a long-lived registry session.
+    df = (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(F.broadcast(df), "term")
         .join(F.broadcast(n))
         .withColumn(
             "s",
@@ -167,10 +184,25 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("tf") * (k1 + F.lit(1.0))
         / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
     )
+    # df per query term from its own partial-aggregated pass over the
+    # per-doc DISTINCT query-term hits — the same window-free shape as
+    # tfidf_top_terms (a query term matching billions of docs would make
+    # a PARTITION BY term window single-task); |query terms| rows,
+    # broadcast back.
+    df = (
+        toks.select(
+            F.explode(
+                F.array_intersect(
+                    F.array_distinct("w"),
+                    F.array(*[F.lit(t) for t in _BM25_TERMS]),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = (
-        # df as a window count over the filtered tf rows — same
-        # single-pass rationale as tfidf_top_terms above
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
