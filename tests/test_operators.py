@@ -154,6 +154,64 @@ def test_cosine_near_dup_arrow_matches_hof(spark, sf_dir):
     assert arrow.subtract(hof).count() == 0
 
 
+def test_cosine_near_dup_degenerate_bucket_bounded(spark):
+    """A degenerate all-identical-embedding cluster — unsplittable by ANY
+    extra hyperplane, since identical vectors share every sign bit — must
+    flow through the bounded block-pair path when its bucket exceeds
+    max_bucket_rows: no kernel group materializes more than ~2 blocks of
+    rows, and the pair output is identical to the HOF join (every
+    unordered pair scored exactly once)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.similarity import (
+        _block_assignments,
+        lsh_bucket_key,
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(7)
+    base = [float(x) for x in rng.normal(size=8)]
+    other = [float(x) for x in rng.normal(size=8)]
+    rows = [(i, base) for i in range(200)] + [(1000 + i, other) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 32
+
+    def run(**kw):
+        return cosine_near_dup_pairs(
+            emb, threshold=0.9, dim=8, n_planes=4, seed=42, **kw
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("c"))
+
+    arrow = run(impl="arrow", max_bucket_rows=cap)
+    hof = run(impl="hof")
+    n_pairs = arrow.count()
+    assert n_pairs >= 200 * 199 // 2 + 10  # both identical clusters fully paired
+    assert hof.subtract(arrow).count() == 0
+    assert arrow.subtract(hof).count() == 0
+
+    # the bounded path's group sizes: the 200-row bucket splits into
+    # ceil(200/32)=7 blocks -> 28 block-pair groups, each holding two
+    # hash-assigned blocks (~57 rows expected) — never the whole bucket
+    planes = random_hyperplanes(8, 4, seed=42)
+    b = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").alias("__v"),
+        lsh_bucket_key("embedding", planes).alias("__bucket"),
+    )
+    sizes = (
+        _block_assignments(b, cap)
+        .groupBy("__bucket", "__i", "__j")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    nb = math.ceil(200 / cap)
+    assert len(sizes) == nb * (nb + 1) // 2
+    assert max(r.n for r in sizes) <= 4 * cap
+    assert max(r.n for r in sizes) < 200  # strictly below the bucket size
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     import pandas as pd
 

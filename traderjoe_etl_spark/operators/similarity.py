@@ -498,6 +498,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     impl: str = "hof",
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
     exact cosine filter ≥ threshold. The bucket join bounds the pair count;
@@ -533,7 +534,15 @@ def cosine_near_dup_pairs(
     round before thresholding). ``impl="arrow"`` additionally requires an
     integral id column (the kernel's schema is ``id_a long``); non-integer
     ids (strings, UUIDs) must use the hof path or map through a surrogate
-    key first."""
+    key first.
+
+    ``max_bucket_rows`` bounds what a single Python worker materializes on
+    the arrow path: buckets over the cap are block-partitioned (see
+    :func:`_near_dup_pairs_arrow`) so a degenerate duplicate cluster —
+    which extra hyperplanes can NEVER split, identical vectors share every
+    sign — streams through bounded block-pair groups instead of one
+    bucket-sized group. Pair output is identical: every unordered pair is
+    scored in exactly one block-pair group."""
     if impl == "arrow":
         id_type = dict(emb.dtypes).get(id_col, "")
         if id_type not in ("tinyint", "smallint", "int", "bigint"):
@@ -553,7 +562,7 @@ def cosine_near_dup_pairs(
         lsh_bucket_key(vec_col, planes).alias("__bucket"),
     )
     if impl == "arrow":
-        return _near_dup_pairs_arrow(b, threshold)
+        return _near_dup_pairs_arrow(b, threshold, max_bucket_rows=max_bucket_rows)
     a = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__bucket")
     c = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__bucket")
     pairs = a.join(c, "__bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -564,61 +573,156 @@ def cosine_near_dup_pairs(
     )
 
 
-def _near_dup_pairs_arrow(bucketed: DataFrame, threshold: float) -> DataFrame:
-    """Per-bucket blocked-GEMM pair scoring for ``cosine_near_dup_pairs``.
+_PAIR_SCHEMA = "id_a long, id_b long, cosine double"
 
-    One Arrow batch per bucket (``groupBy(bucket).applyInPandas``): sort by
-    id so index order == id order (pairs emitted as id_a < id_b exactly
-    like the join path), L2-normalize once, then score in 2048-row blocks.
-    Blocking bounds the SCORE MATRIX at block×bucket doubles (never
-    bucket²), but the bucket's ids + vectors still materialize in one
-    Python worker — a degenerate million-row duplicate cluster at dim=64
-    is ~0.5 GB of float64 plus pandas overhead in a single group. That is
-    the operator's skew ceiling: pre-collapse exact duplicates
-    (dedup_exact) first, or add planes / sub-bucket an over-threshold
-    group, before feeding a corpus whose largest near-dup cluster
-    approaches worker memory. Zero-norm vectors get NaN cosine and drop
-    at the threshold, matching the HOF path's ``nullif`` NULL."""
+
+def _normed(pdf) -> tuple:
+    """(ids, row-L2-normalized matrix) for a kernel group; zero-norm rows
+    become NaN and later fail every ``>= threshold`` comparison, matching
+    the HOF path's ``nullif`` NULL."""
+    import numpy as np
+
+    ids = pdf["__id"].to_numpy(dtype=np.int64)
+    X = np.array(pdf["__v"].to_list(), dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return ids, X / norms[:, None]
+
+
+def _pairs_frame(out_a: list, out_b: list, out_c: list):
     import numpy as np
     import pandas as pd
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__id", ignore_index=True)
-        ids = pdf["__id"].to_numpy(dtype=np.int64)
-        X = np.array(pdf["__v"].to_list(), dtype=np.float64)
-        norms = np.sqrt((X * X).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            Xn = X / norms[:, None]  # zero norm -> NaN row -> fails >=
-        n = len(ids)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        block = 2048
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            S = Xn[s:e] @ Xn.T  # (e-s) × n
-            for li in range(e - s):
-                gi = s + li
-                row = S[li, gi + 1 :]
-                hits = np.nonzero(row >= threshold)[0]
-                if hits.size:
-                    js = hits + gi + 1
-                    out_a.append(np.full(js.size, ids[gi]))
-                    out_b.append(ids[js])
-                    out_c.append(row[hits])
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        return pd.DataFrame({
-            "id_a": np.concatenate(out_a),
-            "id_b": np.concatenate(out_b),
-            "cosine": np.concatenate(out_c),
-        })
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return pd.DataFrame({
+        "id_a": np.concatenate(out_a),
+        "id_b": np.concatenate(out_b),
+        "cosine": np.concatenate(out_c),
+    })
 
-    return bucketed.groupBy("__bucket").applyInPandas(
-        score, "id_a long, id_b long, cosine double"
+
+def _triangle_score(pdf, threshold: float):
+    """Upper-triangle pair scoring within one group: sort by id so index
+    order == id order (pairs emit as id_a < id_b exactly like the join
+    path), L2-normalize once, score in 2048-row blocks so the score
+    MATRIX stays at block×group doubles."""
+    import numpy as np
+
+    pdf = pdf.sort_values("__id", ignore_index=True)
+    ids, Xn = _normed(pdf)
+    n = len(ids)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    block = 2048
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        S = Xn[s:e] @ Xn.T  # (e-s) × n
+        for li in range(e - s):
+            gi = s + li
+            row = S[li, gi + 1 :]
+            hits = np.nonzero(row >= threshold)[0]
+            if hits.size:
+                js = hits + gi + 1
+                out_a.append(np.full(js.size, ids[gi]))
+                out_b.append(ids[js])
+                out_c.append(row[hits])
+    return _pairs_frame(out_a, out_b, out_c)
+
+
+def _block_assignments(bucketed: DataFrame, max_bucket_rows: int) -> DataFrame:
+    """Block-pair replication for over-cap buckets: rows hash into
+    ``nb = ceil(count / cap)`` blocks by id, and each row is emitted once
+    into every block-pair group ``(__i, __j) = (min(bi, p), max(bi, p))``
+    it participates in (p sweeps the partner blocks). Every unordered
+    vector pair lands in exactly ONE group — the one keyed by its two
+    block ids — and a group holds ~2·cap rows regardless of bucket size."""
+    cnt = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    big = (
+        bucketed.join(cnt, "__bucket")
+        .filter(F.col("__cnt") > max_bucket_rows)
+        .withColumn("__nb", F.ceil(F.col("__cnt") / F.lit(max_bucket_rows)).cast("int"))
+        .withColumn("__bi", F.pmod(F.xxhash64("__id"), F.col("__nb")).cast("int"))
     )
+    return big.select(
+        "__bucket",
+        "__id",
+        "__v",
+        "__bi",
+        F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__p"),
+    ).select(
+        "__bucket",
+        "__id",
+        "__v",
+        "__bi",
+        F.least("__bi", "__p").alias("__i"),
+        F.greatest("__bi", "__p").alias("__j"),
+    )
+
+
+def _near_dup_pairs_arrow(
+    bucketed: DataFrame, threshold: float, max_bucket_rows: int = 4096
+) -> DataFrame:
+    """Per-bucket blocked-GEMM pair scoring for ``cosine_near_dup_pairs``,
+    with a bounded-peak path for skewed buckets.
+
+    Buckets at or under ``max_bucket_rows`` score as one
+    ``groupBy(bucket).applyInPandas`` group (upper-triangle blocked GEMM).
+    Buckets OVER the cap — real near-dup corpora collide duplicate
+    clusters into shared buckets by design, and a degenerate
+    all-identical-vector cluster can never be split by adding hyperplanes
+    (identical vectors share every sign bit) — are block-partitioned by
+    :func:`_block_assignments`: rows hash into ceil(count/cap) blocks and
+    each unordered BLOCK pair becomes its own kernel group, so a worker
+    holds ~2·cap rows (~2·cap·dim float64) however large the bucket. The
+    diagonal group (``__i == __j``) scores its upper triangle; an
+    off-diagonal group scores the full A×B rectangle. Total replicated
+    rows for a k-row bucket are k·ceil(k/cap) ≈ k²/cap — proportional to
+    the pair work the bucket inherently owes, never materialized at once.
+    Pair sets from the two paths are identical (each unordered pair is
+    scored exactly once, emitted id_a < id_b)."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _triangle_score(pdf, threshold)
+
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        i, j = int(pdf["__i"].iat[0]), int(pdf["__j"].iat[0])
+        if i == j:
+            return _triangle_score(pdf, threshold)
+        a = pdf[pdf["__bi"] == i]
+        b = pdf[pdf["__bi"] == j]
+        if a.empty or b.empty:
+            return _pairs_frame([], [], [])
+        ids_a, An = _normed(a)
+        ids_b, Bn = _normed(b)
+        S = An @ Bn.T
+        ai, bj = np.nonzero(S >= threshold)
+        if not ai.size:
+            return _pairs_frame([], [], [])
+        ia, ib = ids_a[ai], ids_b[bj]
+        return _pairs_frame(
+            [np.minimum(ia, ib)], [np.maximum(ia, ib)], [S[ai, bj]]
+        )
+
+    cnt = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    small = (
+        bucketed.join(cnt, "__bucket")
+        .filter(F.col("__cnt") <= max_bucket_rows)
+        .drop("__cnt")
+    )
+    small_pairs = small.groupBy("__bucket").applyInPandas(score, _PAIR_SCHEMA)
+    big_pairs = (
+        _block_assignments(bucketed, max_bucket_rows)
+        .groupBy("__bucket", "__i", "__j")
+        .applyInPandas(score_block_pair, _PAIR_SCHEMA)
+    )
+    return small_pairs.unionByName(big_pairs)
 
 
 def incremental_embedding_dedup(
