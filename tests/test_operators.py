@@ -69,6 +69,41 @@ def test_minhash_recall_on_known_duplicates(spark):
     assert (1, 2) in cand
 
 
+def test_minhash_chained_family_recall_and_precision(spark, docs):
+    """The concat-free chained family (per-token xxhash64, k-window
+    combined hash — no shingle string ever built) must behave like the
+    string families: identical token sequences get identical signatures,
+    planted near-duplicates are recalled, and candidates verify at high
+    exact Jaccard. Near-dup collision sets may differ from other families
+    per instance — that randomness is MinHash itself, so only
+    family-independent guarantees are asserted."""
+    from traderjoe_etl_spark.operators.dedup import minhash_signatures
+
+    base = " ".join(f"w{i}" for i in range(50))
+    variant = base.replace("w25", "zz")
+    rows = [(1, base), (2, variant), (100, base), (101, "tiny doc")] + [
+        (i, " ".join(f"u{i}_{j}" for j in range(50))) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_signatures(df, "doc_id", "text", hash_family="chained").collect()
+    }
+    assert sig[1] == sig[100]  # exact dup -> identical signature
+    assert len(sig[101]) == 64  # short-doc fallback produces a full signature
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "doc_id", "text", hash_family="chained").collect()
+    }
+    assert (1, 2) in cand and (1, 100) in cand
+
+    verified = ngram_jaccard_pairs(
+        docs, minhash_lsh_candidates(docs, "doc_id", "text", hash_family="chained")
+    ).collect()
+    assert len(verified) > 0
+    assert min(r.jaccard for r in verified) > 0.5
+
+
 def test_simhash_near_dups_have_small_hamming(spark):
     base = " ".join(f"w{i}" for i in range(60))
     variant = base.replace("w30", "zz")

@@ -122,6 +122,19 @@ def minhash_signatures(
     engine reproduces — the DuckDB oracle recomputes signatures
     independently — at ~the same cost as the xxhash64 family (one md5 per
     shingle, then 64 multiply-add-mods in codegen).
+
+    ``hash_family="chained"``: the concat-free fast path — no shingle
+    STRING is ever materialized. Each token hashes once
+    (``transform(tokens, t -> xxhash64(t))``), and the shingle base hash
+    is ``xxhash64(th[i], …, th[i+k−1])`` over the k consecutive token
+    hashes (O(1) array loads on an unsafe long array — nothing rescans
+    the document). Building the k-word shingle strings is the honest
+    floor of the other two families (~26M string materializations at
+    sf10 dominate; the hash itself is <25% — NOTES r3); this family
+    removes that floor. Collision behavior is equivalent (64-bit mixing
+    of the same k-token window); fingerprints are engine-internal, so
+    pair-level correctness is covered by the family-independent pytest
+    guarantees, not a SQL oracle.
     """
     # Shingle construction is CPU-heavy; if the scan has fewer input files
     # than cores (single small file locally), spread it. With a real multi-
@@ -136,6 +149,37 @@ def minhash_signatures(
         n_files = 0
     if 0 < n_files < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
+    if hash_family == "chained":
+        k = shingle_k
+        # token hashes projected ONCE (referenced by the guard, the window
+        # transform, and the short-doc fallback — CollapseProject keeps a
+        # non-cheap alias referenced >1x as a single evaluation)
+        th = df.select(F.col(id_col), _tokens(text_col).alias("__w")).select(
+            F.col(id_col),
+            F.transform("__w", lambda t: F.xxhash64(t)).alias("__th"),
+        )
+        n = F.size(F.col("__th"))
+        window_hashes = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__th"), i + F.lit(j)) for j in range(k)]
+            ),
+        )
+        short_doc = F.array(
+            F.aggregate(
+                F.col("__th"),
+                F.lit(0).cast("bigint"),
+                lambda acc, h: F.xxhash64(acc, h),
+            )
+        )
+        exploded = th.select(
+            F.col(id_col),
+            F.explode(F.when(n >= k, window_hashes).otherwise(short_doc)).alias("__h"),
+        )
+        terms = [f"min(xxhash64(__h, {i}))" for i in range(num_hashes)]
+        return exploded.groupBy(id_col).agg(
+            F.expr("array(" + ", ".join(terms) + ") AS sig")
+        )
     if hash_family == "xxhash64":
         base = F.xxhash64("__sh")
     else:

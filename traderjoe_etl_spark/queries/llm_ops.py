@@ -440,6 +440,31 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_near_dup_fast")
+def minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs in the concat-free ``chained`` hash
+    family — the throughput path next to ``minhash_near_dup``'s portable
+    (oracle-provable) family. The honest floor of the string families is
+    shingle-string materialization (~26M CONCAT allocations at sf10
+    dominate; the hash choice moves <25% — NOTES r3): here each token
+    hashes once and every k-window combines three cached 64-bit hashes in
+    codegen, so no shingle string exists anywhere in the plan. Registered
+    rows-only (fingerprints are engine-internal 64-bit mixes; pair-level
+    guarantees — identical-token-sequence collision, planted-near-dup
+    recall, Jaccard precision of candidates — are pinned by pytest, the
+    same split text_profile_fast uses)."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        hash_family="chained",
+        pair_strategy="bucket_agg",
+    )
+
+
 def _sample_oracle() -> str:
     from ..operators.sampling import rate_threshold_hex
 
