@@ -625,6 +625,29 @@ def test_text_profile_fingerprint_families_exact_dup_classes(spark):
         assert len({fp[i] for i in uniq_ids}) == len(uniq_ids), fam
 
 
+def test_winnowed_span_fingerprints_arrow_equals_hof(spark, sf_dir):
+    """The numpy kernel and the JVM HOF form of the winnowing-selected
+    span fingerprints must emit IDENTICAL integers — the modular scheme
+    defines the values, not the loop shape. Includes short docs (< one
+    winnowing window) via the global-min fallback."""
+    from traderjoe_etl_spark.queries.retrieval import _selected_span_fingerprints
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    # add a doc with exactly one span (16 tokens: ng=1 < P) for the fallback
+    extra = docs.sparkSession.createDataFrame(
+        [(999_000_001, " ".join(f"t{i}" for i in range(16)), "synthetic")],
+        "doc_id long, text string, source string",
+    )
+    docs = docs.select("doc_id", "text", "source").unionByName(extra)
+    hof = _selected_span_fingerprints(docs, impl="hof")
+    arrow = _selected_span_fingerprints(docs, impl="arrow")
+    assert hof.count() > 0
+    assert arrow.filter(F.col("doc_id") == 999_000_001).count() == 1
+    assert hof.subtract(arrow).count() == 0
+    assert arrow.subtract(hof).count() == 0
+
+
 def test_revenue_by_region_paths_agree(spark, sf_dir):
     """The stats-adaptive broadcast-probe plan and the per-order-partial
     shuffle plan must produce IDENTICAL rows (exact scaled-long sums are

@@ -317,6 +317,189 @@ def exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_spans"))
 
 
+_THIN_P = 8  # winnowing window (spans); recall guaranteed for runs >= K+P-1
+_H_MOD = (1 << 31) - 1
+_H_B1 = 1000003
+_H_B2 = 999983
+
+
+def _token_values(docs: DataFrame) -> DataFrame:
+    """(doc_id, __x array<long>): 32-bit md5-prefix value per token, for
+    documents long enough to hold at least one span. JVM-side — md5 stays
+    in codegen; only the already-hashed longs cross into any kernel."""
+    toks = docs.select("doc_id", tokens("text").alias("w")).filter(
+        F.size("w") >= _SPAN_K
+    )
+    return toks.select(
+        "doc_id",
+        F.transform(
+            "w", lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        ).alias("__x"),
+    )
+
+
+def _selected_span_fingerprints(docs: DataFrame, impl: str = "arrow") -> DataFrame:
+    """(doc_id, h): the winnowing-selected span fingerprints of each
+    document, distinct per document. ``impl="arrow"`` (default) folds the
+    two Horner passes and the sliding minima as whole-array numpy int64
+    ops in one ``mapInPandas`` kernel; ``impl="hof"`` is the pure-JVM
+    higher-order form — byte-identical integers (pinned by pytest), ~6×
+    slower at sf10 because HOF lambdas interpret per element."""
+    xs = _token_values(docs)
+    if impl == "hof":
+
+        def horner(sl, b):
+            return F.aggregate(
+                sl,
+                F.lit(0).cast("bigint"),
+                lambda acc, v: (acc * F.lit(b) + v) % F.lit(_H_MOD),
+            )
+
+        sh = xs.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("__x") - (_SPAN_K - 1)),
+                lambda i: horner(F.slice("__x", i, _SPAN_K), _H_B1) * F.lit(1 << 31)
+                + horner(F.slice("__x", i, _SPAN_K), _H_B2),
+            ).alias("__sh"),
+        )
+        n_sh = F.size(F.col("__sh"))
+        return sh.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        n_sh >= _THIN_P,
+                        F.transform(
+                            F.sequence(F.lit(1), n_sh - (_THIN_P - 1)),
+                            lambda i: F.array_min(F.slice("__sh", i, _THIN_P)),
+                        ),
+                    ).otherwise(F.array(F.array_min("__sh")))
+                )
+            ).alias("h"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r}")
+    import numpy as np
+    import pandas as pd
+
+    k, p, m, b1, b2 = _SPAN_K, _THIN_P, _H_MOD, _H_B1, _H_B2
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id: list = []
+            out_h: list = []
+            for did, x in zip(pdf["doc_id"], pdf["__x"]):
+                x = np.asarray(x, dtype=np.int64)
+                ng = len(x) - k + 1
+                h1 = np.zeros(ng, dtype=np.int64)
+                h2 = np.zeros(ng, dtype=np.int64)
+                for j in range(k):
+                    xv = x[j : j + ng]
+                    h1 *= b1
+                    h1 += xv
+                    h1 %= m
+                    h2 *= b2
+                    h2 += xv
+                    h2 %= m
+                sh = h1 * (1 << 31) + h2
+                if ng >= p:
+                    nw = ng - p + 1
+                    wm = sh[:nw].copy()
+                    for j in range(1, p):
+                        np.minimum(wm, sh[j : j + nw], out=wm)
+                else:
+                    wm = sh.min(keepdims=True)
+                sel = np.unique(wm)
+                out_id.append(np.full(sel.size, did, dtype=np.int64))
+                out_h.append(sel)
+            if out_id:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(out_id), "h": np.concatenate(out_h)}
+                )
+
+    return xs.mapInPandas(kernel, "doc_id long, h long")
+
+
+@query(
+    "exact_substring_dups_thinned",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOK_SQL} AS w FROM documents
+    ),
+    xs AS (
+        SELECT doc_id,
+               list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS x
+        FROM toks WHERE len(w) >= {_SPAN_K}
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(x) - {_SPAN_K - 2}), i ->
+                   list_reduce(list_prepend(0, x[i:i+{_SPAN_K - 1}]),
+                               (acc, v) -> (acc * {_H_B1} + v) % {_H_MOD}) * {1 << 31}
+                 + list_reduce(list_prepend(0, x[i:i+{_SPAN_K - 1}]),
+                               (acc, v) -> (acc * {_H_B2} + v) % {_H_MOD})) AS sh
+        FROM xs
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(sh) >= {_THIN_P}
+                   THEN list_transform(range(1, len(sh) - {_THIN_P - 2}),
+                                       i -> list_min(sh[i:i+{_THIN_P - 1}]))
+                   ELSE [list_min(sh)] END) AS h
+        FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fingerprints
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def exact_substring_dups_thinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-thinned exact-substring duplication — the scale form of
+    :func:`exact_substring_dups`. Two cost cuts, one recall contract:
+
+    - **span hash without concat strings**: per-token 32-bit md5-prefix
+      values are computed once, and each 16-token span hashes as a pair
+      of Horner polynomial folds mod 2^31−1 (bases 1000003/999983,
+      packed into one 62-bit BIGINT) — pure integer codegen both engines
+      replay exactly, vs one ~100-char CONCAT + md5 per span;
+    - **winnowing selection** (Schleimer et al., SIGMOD'03): per document
+      only the MINIMUM span hash of every P=8-span window is kept
+      (~2/(P+1) ≈ 22% density vs every span). Selection depends only on
+      hash VALUES, so two documents sharing any token run of
+      **≥ K+P−1 = 23 tokens** share a full P-window of span hashes and
+      therefore select at least one common fingerprint — guaranteed
+      recall above that length, no guarantee for shorter overlaps (an
+      isolated exact 16-token match may thin away; the unthinned query
+      is the tool when that matters).
+
+    n_shared_fingerprints counts shared SELECTED fingerprints (a thinned
+    proxy for shared-span count). Pair expansion reuses the streaming
+    two-generator in-bucket form.
+
+    Execution split (pinned integer-equal by pytest): the per-token md5
+    base values stay in JVM codegen (one HOF pass); the polynomial folds
+    and sliding minima run as whole-array numpy int64 ops in a
+    ``mapInPandas`` kernel — the interpreted-HOF Horner form costs ~12 s
+    at sf10 (32 lambda steps × 26M spans), the kernel ~2 s, identical
+    values (the scheme defines the integers, not the loop shape — the
+    same split as operators.text.rolling_hash_fingerprints)."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = _selected_span_fingerprints(docs, impl="arrow")
+    buckets = (
+        sel.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(F.posexplode("ids").alias("__i", "id_a"), "ids").select(
+        "id_a",
+        F.explode(F.expr("slice(ids, __i + 2, size(ids) - __i - 1)")).alias("id_b"),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_fingerprints")
+    )
+
+
 @query(
     "source_quota_sample",
     oracle="""
