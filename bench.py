@@ -96,6 +96,7 @@ def _duck_conn(sf_dir: str):
 
 
 def _bench_dir(spark, qs, osql, sf_dir: str, *, shuffle_partitions: int | None = None) -> dict:
+    prev = prev_oc = None
     if shuffle_partitions is not None:
         # tiny-input sizing: at sub-GB scale 32 reducers per stage are pure
         # task-dispatch overhead; AQE would coalesce them anyway but a small
@@ -109,53 +110,58 @@ def _bench_dir(spark, qs, osql, sf_dir: str, *, shuffle_partitions: int | None =
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         spark.conf.set("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
 
-    spark_t: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        # Prepared-statement protocol (VERDICT r02 sanctioned plan reuse —
-        # DuckDB's twins reuse a parsed statement the same way): build the
-        # DataFrame ONCE per (query, sf_dir), run it once to warm (JIT,
-        # codegen cache, file-system cache), then time re-executions of the
-        # SAME plan and keep the fastest of two (same variance floor as the
-        # DuckDB side below). The noop write re-runs the full physical plan
-        # — scan/shuffle/agg — every time; nothing is result-cached between
-        # runs. What the protocol excludes is py4j plan CONSTRUCTION, a
-        # per-process constant that vanishes in any workload where a plan
-        # runs more than once.
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            if best > 5.0:  # slow query: one timed run is representative
-                break
-        spark_t[name] = round(best, 3)
-        spark.catalog.clearCache()  # queries must not inherit earlier persists
-
-    duck_t: dict[str, float] = {}
+    # try/finally: a failing query must not leak the tiny-input confs into
+    # the caller's next section (the sf1 scale numbers would silently run
+    # with 8 reducers — ADVICE r03)
     try:
-        con = _duck_conn(sf_dir)
+        spark_t: dict[str, float] = {}
         for name in HEADLINE:
-            if name in DUCKDB_SKIP or name not in osql:
+            if name not in qs:
                 continue
-            con.execute(osql[name]).fetchall()  # warm
+            # Prepared-statement protocol (VERDICT r02 sanctioned plan reuse —
+            # DuckDB's twins reuse a parsed statement the same way): build the
+            # DataFrame ONCE per (query, sf_dir), run it once to warm (JIT,
+            # codegen cache, file-system cache), then time re-executions of the
+            # SAME plan and keep the fastest of two (same variance floor as the
+            # DuckDB side below). The noop write re-runs the full physical plan
+            # — scan/shuffle/agg — every time; nothing is result-cached between
+            # runs. What the protocol excludes is py4j plan CONSTRUCTION, a
+            # per-process constant that vanishes in any workload where a plan
+            # runs more than once.
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
-                con.execute(osql[name]).fetchall()
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
-                if best > 5.0:  # same early-out rule as the Spark side
+                if best > 5.0:  # slow query: one timed run is representative
                     break
-            duck_t[name] = round(best, 3)
-        con.close()
-    except Exception:
-        duck_t = {}
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+            spark_t[name] = round(best, 3)
+            spark.catalog.clearCache()  # queries must not inherit earlier persists
+
+        duck_t: dict[str, float] = {}
+        try:
+            con = _duck_conn(sf_dir)
+            for name in HEADLINE:
+                if name in DUCKDB_SKIP or name not in osql:
+                    continue
+                con.execute(osql[name]).fetchall()  # warm
+                best = float("inf")
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    con.execute(osql[name]).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                    if best > 5.0:  # same early-out rule as the Spark side
+                        break
+                duck_t[name] = round(best, 3)
+            con.close()
+        except Exception:
+            duck_t = {}
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
     comparable = [n for n in duck_t if n in spark_t]
     s_cmp = sum(spark_t[n] for n in comparable)

@@ -247,6 +247,33 @@ def test_cosine_near_dup_degenerate_bucket_bounded(spark):
     assert max(r.n for r in sizes) < 200  # strictly below the bucket size
 
 
+def test_cosine_near_dup_arrow_string_ids(spark):
+    """The arrow kernel must carry NON-integral ids end-to-end (output
+    schema follows the id type; numpy code-point comparisons == Spark's
+    UTF8_BINARY byte order), through BOTH the per-bucket path and the
+    over-cap block-pair path (cap=8 forces it for the duplicate cluster)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = [float(x) for x in rng.normal(size=8)]
+    rows = [(f"doc-{i:03d}", base) for i in range(30)] + [
+        (f"zz-{i}", [float(x) for x in rng.normal(size=8)]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    def run(**kw):
+        return cosine_near_dup_pairs(
+            emb, threshold=0.9, dim=8, n_planes=4, **kw
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("c"))
+
+    hof = run(impl="hof")
+    arrow = run(impl="arrow", max_bucket_rows=8)
+    assert dict(arrow.dtypes)["id_a"] == "string"
+    assert arrow.count() >= 30 * 29 // 2
+    assert hof.subtract(arrow).count() == 0
+    assert arrow.subtract(hof).count() == 0
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     import pandas as pd
 
@@ -741,3 +768,95 @@ def test_incremental_embedding_dedup(spark, tmp_path):
     stored = {r["bucket"] for r in spark.read.parquet(store).collect()}
     assert stored == {bkeys[1], bkeys[2]} | ({bkeys[5]} if expected else set())
     assert out2.columns == ["vec_id", "embedding"]
+
+
+def test_incremental_embedding_dedup_corrupt_store_raises(spark, tmp_path):
+    """A store path that EXISTS but cannot be read as the bucket schema
+    must raise — silently treating it as 'first run' would skip dedup and
+    append the batch's buckets on top of the broken store (ADVICE r03).
+    A genuinely missing path still means first run."""
+    import pytest
+
+    from traderjoe_etl_spark.operators.similarity import incremental_embedding_dedup
+
+    store = str(tmp_path / "emb_store")
+    import os
+
+    os.makedirs(store)
+    with open(os.path.join(store, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    batch = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception):
+        incremental_embedding_dedup(batch, store, dim=8).collect()
+
+
+def test_rekey_store_migration_preserves_dedup(spark, tmp_path):
+    """Grow the corpus past the original plane bank, migrate with
+    rekey_store, and verify dedup behavior under the new bank: previously
+    accepted vectors still collide (dropped), genuinely novel ones
+    survive — and the new store refuses to overwrite an existing path."""
+    import pytest
+
+    from traderjoe_etl_spark.operators.similarity import (
+        incremental_embedding_dedup,
+        lsh_bucket_key,
+        random_hyperplanes,
+        rekey_store,
+    )
+
+    dim = 8
+    old_store = str(tmp_path / "old_store")
+    new_store = str(tmp_path / "new_store")
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    corpus_rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(64)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    # accept the corpus in two runs under a deliberately TOO-SMALL bank
+    # (4 planes = 16 buckets for 64 vectors): run 1 occupies nearly every
+    # bucket, so run 2 over-drops — the saturation that motivates re-keying
+    out1 = incremental_embedding_dedup(
+        corpus.filter("vec_id < 32"), old_store, dim=dim, n_planes=4
+    )
+    out2 = incremental_embedding_dedup(
+        corpus.filter("vec_id >= 32"), old_store, dim=dim, n_planes=4
+    )
+    assert out2.count() < 16  # the small bank is saturating
+    accepted = out1.unionByName(out2)
+    accepted_rows = accepted.collect()
+    assert len(accepted_rows) >= 32
+
+    # migrate: re-key the ACCEPTED vectors under a 12-plane bank
+    rekey_store(accepted, new_store, dim=dim, n_planes=12)
+    planes12 = random_hyperplanes(dim, 12, seed=42)
+    expect_buckets = {
+        r["k"]
+        for r in accepted.select(lsh_bucket_key("embedding", planes12).alias("k")).collect()
+    }
+    assert {r["bucket"] for r in spark.read.parquet(new_store).collect()} == expect_buckets
+
+    # dedup behavior preserved under the new bank: an exact copy of an
+    # accepted vector drops; a fresh vector in an unoccupied bucket stays
+    dup_vec = accepted_rows[0]["embedding"]
+    novel_vec = [float(x) for x in rng.normal(size=dim) * 10]
+    probe = spark.createDataFrame(
+        [(900, [float(x) for x in dup_vec]), (901, novel_vec)],
+        "vec_id long, embedding array<double>",
+    )
+    out = incremental_embedding_dedup(
+        probe, new_store, dim=dim, n_planes=12, update_store=False
+    )
+    kept = {r["vec_id"] for r in out.collect()}
+    assert 900 not in kept
+    nb = probe.filter("vec_id = 901").select(
+        lsh_bucket_key("embedding", planes12).alias("k")
+    ).first()["k"]
+    assert (901 in kept) == (nb not in expect_buckets)
+
+    # refuses to clobber an existing store
+    with pytest.raises(Exception):
+        rekey_store(accepted, new_store, dim=dim, n_planes=12)

@@ -152,6 +152,7 @@ def native_bloom_prefilter(
     *,
     expected_keys: int,
     fpp: float = 0.01,
+    num_hashes: int = 5,
 ) -> DataFrame:
     """Big-build Bloom prefilter with the bitmap as a broadcast VALUE — a
     1-row ``array<long>`` aggregate joined with a broadcast hint — never a
@@ -172,7 +173,6 @@ def native_bloom_prefilter(
     the zero-copy ideal, but it is not exposed in the public function
     registry; this build keeps the SAME xxhash64 family on both sides
     using only public operators.)"""
-    num_hashes = 5
     m_bits = _optimal_bits(max(1, expected_keys), fpp)
     n_words = m_bits // 64
     key_col = F.col(build_key)
@@ -239,7 +239,8 @@ def bloom_prefilter_join(
     if _optimal_bits(max(1, n_keys), fpp) > max_literal_bits:
         # big build: bitmap as a broadcast value, not a plan literal
         pref = native_bloom_prefilter(
-            probe, build, probe_key, build_key, expected_keys=n_keys, fpp=fpp
+            probe, build, probe_key, build_key,
+            expected_keys=n_keys, fpp=fpp, num_hashes=num_hashes,
         )
     else:
         words, m_bits, k = build_bloom(

@@ -290,10 +290,23 @@ def incremental_dedup(
         new_docs, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     ).persist()
     try:
+        # Narrow read-failure handling: only a missing path means "first
+        # run"; corrupt/transient store errors must propagate, not
+        # silently skip dedup for the batch (ADVICE r03 — shared with
+        # similarity._read_bucket_store).
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.schema("band_idx INT, band_hash STRING").parquet(store_path)
             have_store = True
-        except Exception:
+        except AnalysisException as exc:
+            klass = ""
+            try:
+                klass = exc.getErrorClass() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(exc):
+                raise
             have_store = False
         if have_store:
             hit_ids = (
@@ -306,14 +319,19 @@ def incremental_dedup(
             )
         else:
             novel = new_docs
+        # Materialize BEFORE appending to the store: the append changes
+        # what a re-listed store read would return, so a post-append
+        # re-execution of the anti-join could collide the batch with its
+        # own entries (and pays the plan twice). Checkpoint first, write
+        # from the settled result.
+        novel = novel.localCheckpoint(eager=True)
         if update_store:
             novel_ids = novel.select(F.col(id_col).alias("__id"))
             novel_entries = entries.join(novel_ids, "__id", "left_semi").select(
                 "band_idx", "band_hash"
             )
             novel_entries.write.mode("append").parquet(store_path)
-        # materialize before unpersisting: callers get a self-contained frame
-        return novel.localCheckpoint(eager=True)
+        return novel
     finally:
         entries.unpersist()
 

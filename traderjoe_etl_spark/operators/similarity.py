@@ -531,10 +531,11 @@ def cosine_near_dup_pairs(
     and a cosine sitting within 1 ulp of ``threshold`` itself can flip
     pair MEMBERSHIP between impls (none of the synthetic corpora place a
     pair that close; a caller that needs impl-stable membership should
-    round before thresholding). ``impl="arrow"`` additionally requires an
-    integral id column (the kernel's schema is ``id_a long``); non-integer
-    ids (strings, UUIDs) must use the hof path or map through a surrogate
-    key first.
+    round before thresholding). The arrow kernel's output schema follows
+    the id column's own type (integers, strings/UUIDs, dates …): pair
+    orientation compares ids with numpy element comparisons, which for
+    strings is code-point order — identical to Spark's UTF8_BINARY byte
+    order, because UTF-8 byte order preserves code-point order.
 
     ``max_bucket_rows`` bounds what a single Python worker materializes on
     the arrow path: buckets over the cap are block-partitioned (see
@@ -543,13 +544,6 @@ def cosine_near_dup_pairs(
     sign — streams through bounded block-pair groups instead of one
     bucket-sized group. Pair output is identical: every unordered pair is
     scored in exactly one block-pair group."""
-    if impl == "arrow":
-        id_type = dict(emb.dtypes).get(id_col, "")
-        if id_type not in ("tinyint", "smallint", "int", "bigint"):
-            raise TypeError(
-                f"cosine_near_dup_pairs(impl='arrow') needs an integral id column; "
-                f"{id_col!r} is {id_type!r} — use impl='hof' or add a surrogate key"
-            )
     if n_planes is None:
         import math
 
@@ -562,7 +556,10 @@ def cosine_near_dup_pairs(
         lsh_bucket_key(vec_col, planes).alias("__bucket"),
     )
     if impl == "arrow":
-        return _near_dup_pairs_arrow(b, threshold, max_bucket_rows=max_bucket_rows)
+        id_type = dict(emb.dtypes)[id_col]
+        return _near_dup_pairs_arrow(
+            b, threshold, max_bucket_rows=max_bucket_rows, id_type=id_type
+        )
     a = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__bucket")
     c = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__bucket")
     pairs = a.join(c, "__bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -573,16 +570,13 @@ def cosine_near_dup_pairs(
     )
 
 
-_PAIR_SCHEMA = "id_a long, id_b long, cosine double"
-
-
 def _normed(pdf) -> tuple:
     """(ids, row-L2-normalized matrix) for a kernel group; zero-norm rows
     become NaN and later fail every ``>= threshold`` comparison, matching
     the HOF path's ``nullif`` NULL."""
     import numpy as np
 
-    ids = pdf["__id"].to_numpy(dtype=np.int64)
+    ids = pdf["__id"].to_numpy()  # dtype follows the caller's id column
     X = np.array(pdf["__v"].to_list(), dtype=np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -594,8 +588,10 @@ def _pairs_frame(out_a: list, out_b: list, out_c: list):
     import pandas as pd
 
     if not out_a:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
+        # empty object-dtype id columns: Arrow casts them to whatever the
+        # declared id type is, for any id dtype
+        return pd.DataFrame({"id_a": pd.Series(dtype="object"),
+                             "id_b": pd.Series(dtype="object"),
                              "cosine": pd.Series(dtype="float64")})
     return pd.DataFrame({
         "id_a": np.concatenate(out_a),
@@ -664,7 +660,10 @@ def _block_assignments(bucketed: DataFrame, max_bucket_rows: int) -> DataFrame:
 
 
 def _near_dup_pairs_arrow(
-    bucketed: DataFrame, threshold: float, max_bucket_rows: int = 4096
+    bucketed: DataFrame,
+    threshold: float,
+    max_bucket_rows: int = 4096,
+    id_type: str = "bigint",
 ) -> DataFrame:
     """Per-bucket blocked-GEMM pair scoring for ``cosine_near_dup_pairs``,
     with a bounded-peak path for skewed buckets.
@@ -683,8 +682,13 @@ def _near_dup_pairs_arrow(
     rows for a k-row bucket are k·ceil(k/cap) ≈ k²/cap — proportional to
     the pair work the bucket inherently owes, never materialized at once.
     Pair sets from the two paths are identical (each unordered pair is
-    scored exactly once, emitted id_a < id_b)."""
+    scored exactly once, emitted id_a < id_b). ``id_type`` is the Spark
+    type of the caller's id column — the kernel output schema follows it,
+    and the kernels never cast ids (numpy comparisons on string ids use
+    code-point order == Spark's UTF8_BINARY byte order)."""
     import pandas as pd
+
+    pair_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         return _triangle_score(pdf, threshold)
@@ -716,11 +720,11 @@ def _near_dup_pairs_arrow(
         .filter(F.col("__cnt") <= max_bucket_rows)
         .drop("__cnt")
     )
-    small_pairs = small.groupBy("__bucket").applyInPandas(score, _PAIR_SCHEMA)
+    small_pairs = small.groupBy("__bucket").applyInPandas(score, pair_schema)
     big_pairs = (
         _block_assignments(bucketed, max_bucket_rows)
         .groupBy("__bucket", "__i", "__j")
-        .applyInPandas(score_block_pair, _PAIR_SCHEMA)
+        .applyInPandas(score_block_pair, pair_schema)
     )
     return small_pairs.unionByName(big_pairs)
 
@@ -749,7 +753,8 @@ def incremental_embedding_dedup(
     comparable across runs — so unlike the in-corpus
     :func:`cosine_near_dup_pairs` it cannot auto-size to the corpus;
     pick ``n_planes`` for the expected FINAL corpus (buckets ≈ 2^planes)
-    and re-key the store if the corpus outgrows it.
+    and re-key the store with :func:`rekey_store` if the corpus outgrows
+    it.
 
     Semantics are candidate-level and conservative, exactly like the
     minhash store: a bucket collision DROPS the new vector (P(collision)
@@ -758,22 +763,25 @@ def incremental_embedding_dedup(
     and verify survivors' cosines before dropping.
 
     Plan: map-only bucket keys for the batch → LEFT ANTI against the
-    store → survivors' keys appended (computed once, one extra write).
+    store → the anti-join MATERIALIZES (localCheckpoint) → survivors'
+    keys appended from the checkpointed frame. Materialize-then-write
+    ordering is load-bearing: appending first and checkpointing after
+    would re-execute the anti-join against a store that now contains the
+    batch's own buckets under any file re-listing (catalog refresh,
+    task retry) — returning zero rows — and would pay the plan twice
+    (ADVICE r03).
     """
     spark = new_batch.sparkSession
     planes = random_hyperplanes(dim, n_planes, seed=seed)
     keyed = new_batch.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
-    try:
-        store = spark.read.schema("bucket STRING").parquet(store_path)
-        have_store = True
-    except Exception:
-        have_store = False
-    if have_store:
+    store = _read_bucket_store(spark, store_path)
+    if store is not None:
         novel = keyed.join(
             store, keyed["__bucket"] == store["bucket"], "left_anti"
         )
     else:
         novel = keyed
+    novel = novel.localCheckpoint(eager=True)
     if update_store:
         # distinct: one row per newly-occupied bucket, however many batch
         # vectors share it (they are each other's dups; first run keeps
@@ -781,4 +789,53 @@ def incremental_embedding_dedup(
         novel.select(F.col("__bucket").alias("bucket")).distinct().write.mode(
             "append"
         ).parquet(store_path)
-    return novel.drop("__bucket").localCheckpoint(eager=True)
+    return novel.drop("__bucket")
+
+
+def _read_bucket_store(spark, store_path: str):
+    """Read the bucket-key store, returning None ONLY when the path does
+    not exist (first run). Any other failure — corrupt parquet, transient
+    IO/permission error — propagates: treating it as 'store missing'
+    would silently skip dedup for the batch and append its buckets anyway,
+    letting duplicates flow downstream with no signal (ADVICE r03)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema("bucket STRING").parquet(store_path)
+    except AnalysisException as exc:
+        klass = ""
+        try:
+            klass = exc.getErrorClass() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" in klass or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
+
+
+def rekey_store(
+    corpus: DataFrame,
+    new_store_path: str,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int,
+    seed: int = 42,
+) -> None:
+    """Rebuild the :func:`incremental_embedding_dedup` bucket store under
+    a LARGER plane bank — the migration path for when the corpus outgrows
+    the bank it started with (expected load is ~|corpus| / 2^planes
+    vectors per bucket; once that climbs, the store over-drops novel
+    vectors because too much of the space shares too few buckets).
+
+    The store itself is deliberately vector-free, so re-keying needs the
+    ACCEPTED corpus vectors (the caller's system of record — e.g. the
+    survivors each run persisted). One map-only pass keys every vector
+    under the new (dim, n_planes, seed) bank and writes the distinct
+    bucket set; subsequent :func:`incremental_embedding_dedup` calls must
+    pass the SAME new parameters. Writes with mode='error' — refusing to
+    clobber an existing store rather than silently mixing banks."""
+    planes = random_hyperplanes(dim, n_planes, seed=seed)
+    corpus.select(
+        lsh_bucket_key(vec_col, planes).alias("bucket")
+    ).distinct().write.mode("error").parquet(new_store_path)

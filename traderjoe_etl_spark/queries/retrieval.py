@@ -645,8 +645,13 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
+    # round the quality term to 6 dp BEFORE the floor, exactly like the
+    # oracle's weight expression: the E-S sort key u^(1/w) is continuous
+    # in w, so a full-precision w here vs a rounded w there makes
+    # near-tied keys rank differently across engines (ADVICE r03). Both
+    # sides now derive sk from the identical 1e-6-grid w.
     scored = docs.select(
-        "doc_id", "source", (quality_score("text") + F.lit(0.05)).alias("w")
+        "doc_id", "source", (F.round(quality_score("text"), 6) + F.lit(0.05)).alias("w")
     )
     keyed = scored.withColumn("sk", weighted_sample_key("doc_id", F.col("w")))
     win = Window.partitionBy("source").orderBy(F.desc("sk"), "doc_id")
