@@ -49,6 +49,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         advanced_ops,
         coverage_extras,
+        curation_extras,
         data_governance,
         final_coverage,
         llm_ops,
