@@ -652,6 +652,39 @@ def test_text_profile_fingerprint_families_exact_dup_classes(spark):
         assert len({fp[i] for i in uniq_ids}) == len(uniq_ids), fam
 
 
+def test_pca_fit_project_invariants(spark, emb):
+    """Algebraic invariants of the distributed PCA (no SQL engine has an
+    eigensolver, so this is the correctness proof): orthonormal basis,
+    descending explained variance, per-component projection variance ==
+    explained ratio, and exact full-rank reconstruction."""
+    import numpy as np
+
+    from traderjoe_etl_spark.operators.similarity import pca_fit, pca_project
+
+    mean, comps, explained = pca_fit(emb, dim=64, k=64)
+    C = np.array(comps)
+    assert np.allclose(C.T @ C, np.eye(64), atol=1e-8)
+    assert all(
+        explained[i] >= explained[i + 1] - 1e-12 for i in range(len(explained) - 1)
+    )
+    rows = pca_project(emb, mean, comps).collect()
+    proj = {r["vec_id"]: np.array(r["proj"]) for r in rows}
+    orig = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    }
+    P = np.array([proj[i] for i in sorted(proj)])
+    X = np.array([orig[i] for i in sorted(orig)])
+    # full-rank round trip: X == mean + P @ C^T
+    assert np.allclose(X, np.asarray(mean) + P @ C.T, atol=1e-7)
+    # per-component variance matches the explained ratio (both /n)
+    ratios = P.var(axis=0) / X.var(axis=0).sum()
+    assert np.allclose(ratios, explained, atol=1e-8)
+    # truncated fit agrees with the leading columns of the full basis
+    mean8, comps8, _ = pca_fit(emb, dim=64, k=8)
+    assert np.allclose(np.array(comps8), C[:, :8], atol=1e-8)
+
+
 def test_winnowed_span_fingerprints_arrow_equals_hof(spark, sf_dir):
     """The numpy kernel and the JVM HOF form of the winnowing-selected
     span fingerprints must emit IDENTICAL integers — the modular scheme

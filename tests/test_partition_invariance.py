@@ -32,6 +32,10 @@ CASES = [
     "vocab_top_terms",      # global top-k with tie-broken cut (r2)
     "bitwise_flag_rollup",  # associative bitwise aggregates (r2)
     "min_cost_supplier_q2", # window-min decorrelated lateral (r2)
+    "exact_substring_dups_thinned",  # winnowing kernel + bucket pairing (r4)
+    "bigram_surprisal_scores",       # rounded-score ranking over float sums (r4)
+    "prototype_pruning",             # rounded centroid/cosine thresholds (r4)
+    "pagerank_sources",              # per-iteration rounded rank sums (r4)
 ]
 
 

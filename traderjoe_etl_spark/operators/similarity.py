@@ -839,3 +839,118 @@ def rekey_store(
     corpus.select(
         lsh_bucket_key(vec_col, planes).alias("bucket")
     ).distinct().write.mode("error").parquet(new_store_path)
+
+
+def pca_fit(
+    emb: DataFrame,
+    dim: int,
+    k: int,
+    vec_col: str = "embedding",
+):
+    """Distributed PCA fit: ``(mean, components[dim×k], explained_ratio)``.
+
+    One ``mapInArrow`` pass emits per-batch moment partials — count, sum
+    vector, and the flattened Gram matrix ``XᵀX`` (dim² doubles) — so the
+    full corpus reduces to ~33 KB per Arrow batch regardless of row
+    count; the partials collect to the driver (bounded: #batches rows)
+    and the dim×dim covariance eigendecomposes THERE — for dim=64 that is
+    microseconds, and spinning up a cluster job to avoid a 64×64 ``eigh``
+    would cost three scheduling round-trips to save nothing (the same
+    driver-side-small argument as ``ivf_search`` centroid ranking). At
+    100 TB the scan is the cost and it is one embarrassingly-parallel
+    pass with map-side reduction to constants.
+
+    Component signs are canonicalized (largest-|coordinate| positive) so
+    the basis is reproducible run to run up to float-sum reassociation;
+    eigenvalues/loadings are data properties, not engine properties, so
+    correctness is pinned by pytest invariants (orthonormality, variance
+    ordering, per-component projection variance == eigenvalue,
+    full-rank reconstruction) rather than a SQL oracle — no SQL engine
+    exposes an eigensolver."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partials(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = (
+                b.column(0)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([n], type=pa.int64()),
+                    pa.array([X.sum(axis=0)]),
+                    pa.array([(X.T @ X).ravel()]),
+                ],
+                names=["n", "s", "g"],
+            )
+
+    parts = (
+        emb.select(vec_col)
+        .mapInArrow(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"], dtype=np.float64) for r in parts], axis=0)
+    G = np.sum(
+        [np.asarray(r["g"], dtype=np.float64).reshape(dim, dim) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].copy()
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    total = float(evals.sum()) or 1.0
+    explained = [float(evals[o]) / total for o in order]
+    return mean.tolist(), comps.tolist(), explained
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PCA projection ``(X − mean) @ components`` via one
+    ``mapInArrow`` GEMM per batch — no shuffle, no Python objects per
+    row; the (dim×k) loading matrix ships as a closure constant (KBs).
+    Output schema: ``(id, proj array<double>)`` with the id column's own
+    type preserved."""
+    import numpy as np
+    import pyarrow as pa
+
+    mu = np.asarray(mean, dtype=np.float64)
+    C = np.asarray(components, dtype=np.float64)
+
+    def proj(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            P = (X - mu) @ C
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(P.tolist())], names=[id_col, "proj"]
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vec_col).mapInArrow(
+        proj, f"{id_col} {id_type}, proj array<double>"
+    )

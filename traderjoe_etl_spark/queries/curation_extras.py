@@ -342,3 +342,102 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("node", F.round("r", 6).alias("rank"), "rk")
     )
+
+
+_PSI_NB = 10  # fixed-width bins; bucket = min(floor(x / width), NB) -> NB+1 ids
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id % 2 AS half, m.metric,
+               CASE m.metric
+                   WHEN 'n_chars' THEN least(CAST(floor(length(text) / 50.0) AS INT), {_PSI_NB})
+                   ELSE least(CAST(floor(len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 10.0) AS INT), {_PSI_NB})
+               END AS bucket
+        FROM documents, (SELECT unnest(['n_chars', 'n_tokens']) AS metric) m
+    ),
+    cnts AS (
+        SELECT metric, bucket,
+               count(*) FILTER (half = 0) AS ref_n,
+               count(*) FILTER (half = 1) AS cur_n
+        FROM feats GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT metric, sum(ref_n) AS ref_t, sum(cur_n) AS cur_t
+        FROM cnts GROUP BY 1
+    )
+    SELECT c.metric,
+           round(sum(((c.ref_n + 0.5) / (t.ref_t + 0.5 * {_PSI_NB + 1})
+                    - (c.cur_n + 0.5) / (t.cur_t + 0.5 * {_PSI_NB + 1}))
+                  * ln(((c.ref_n + 0.5) / (t.ref_t + 0.5 * {_PSI_NB + 1}))
+                     / ((c.cur_n + 0.5) / (t.cur_t + 0.5 * {_PSI_NB + 1})))), 6) AS psi
+    FROM cnts c JOIN tot t USING (metric)
+    GROUP BY 1
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus halves (stand-ins
+    for consecutive crawls): Population Stability Index per feature —
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over fixed-width buckets of doc
+    length and token count, with add-½ smoothing so empty buckets stay
+    finite. The pre-retrain gate a data platform runs before swapping in
+    a new crawl: PSI < 0.1 stable, > 0.25 investigate.
+
+    Plan: ONE scan computes both features, explodes 2 metric rows per
+    doc, and partial-aggregates (metric, bucket, half) counts — output
+    is |metrics|·|buckets| rows; totals ride a second tiny aggregate
+    over those counts. Binning is min(floor(x/width), NB) — floor before
+    any cast, because DuckDB CAST(double AS INT) rounds half-away while
+    Spark truncates (the repo-wide rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    nb = F.lit(_PSI_NB)
+    len_b = F.least(F.floor(F.length("text") / F.lit(50.0)).cast("int"), nb)
+    tok_b = F.least(F.floor(F.size(tokens("text")) / F.lit(10.0)).cast("int"), nb)
+    feats = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_chars").alias("metric"), len_b.alias("bucket")),
+                F.struct(F.lit("n_tokens").alias("metric"), tok_b.alias("bucket")),
+            )
+        ).alias("f"),
+    ).select("half", "f.metric", "f.bucket")
+    cnts = feats.groupBy("metric", "bucket").agg(
+        F.count_if(F.col("half") == 0).alias("ref_n"),
+        F.count_if(F.col("half") == 1).alias("cur_n"),
+    )
+    tot = cnts.groupBy("metric").agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    sm = F.lit(0.5 * (_PSI_NB + 1))
+    p = (F.col("ref_n") + F.lit(0.5)) / (F.col("ref_t") + sm)
+    q = (F.col("cur_n") + F.lit(0.5)) / (F.col("cur_t") + sm)
+    return (
+        cnts.join(F.broadcast(tot), "metric")
+        .groupBy("metric")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA dimensionality reduction (64 → 8) over the
+    embedding corpus — the pre-ANN compression step (project once, index
+    the low-rank vectors). Fit is one moment-partials pass reduced to a
+    driver-side 64×64 eigensolve (operators/similarity.pca_fit);
+    projection is a map-only mapInArrow GEMM. Registered rows-only: an
+    eigenbasis is not SQL-expressible — the algebraic invariants
+    (orthonormality, variance ordering, projection variance ==
+    eigenvalue, full-rank reconstruction) are pinned by pytest instead.
+    Output rounds to 6 dp for run-to-run display stability; rank order
+    of explained variance is deterministic."""
+    from ..operators.similarity import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, dim=64, k=8)
+    out = pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj")
+    )
