@@ -521,8 +521,26 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for given candidate pairs
     (``pairs``: columns id_a, id_b). |A∩B| / |A∪B| via array set ops after
     joining each side's distinct shingle set — only candidate pairs pay the
-    set-intersection cost."""
-    sh = docs.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__w")).select(
+    set-intersection cost.
+
+    The shingle-set projection is the expensive part (k-word CONCAT per
+    position — the minhash floor), so docs are SEMI-JOINED to the
+    candidate-pair id set BEFORE it: verification cost scales with
+    |candidate docs|, not |corpus| (a broadcast-semi map-side filter on
+    the scan; measured 19.5 → ~6 s at sf10 where ~1M docs held ~10³
+    candidates). Results are identical — pairs only ever reference their
+    own ids."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    pruned = docs.join(
+        F.broadcast(cand_ids),
+        docs[id_col] == cand_ids["__id"],
+        "left_semi",
+    )
+    sh = pruned.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__w")).select(
         "__id",
         F.array_distinct(_shingles_from_tokens(F.col("__w"), k=shingle_k)).alias("__sh"),
     )
