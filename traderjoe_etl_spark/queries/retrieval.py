@@ -261,6 +261,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPAN_K = 16
+_THIN_P = 8  # winnowing window (spans); recall guaranteed for runs >= K+P-1
+_H_MOD = (1 << 31) - 1
+_H_B1 = 1000003
+_H_B2 = 999983
 
 
 @query(
@@ -269,12 +273,21 @@ _SPAN_K = 16
     WITH toks AS (
         SELECT doc_id, {_TOK_SQL} AS w FROM documents
     ),
-    spans AS (
-        SELECT DISTINCT doc_id,
-               md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) AS h
-        FROM toks, unnest(range(1, len(w) - {_SPAN_K - 2})) AS t(i)
-        WHERE len(w) >= {_SPAN_K}
-    )
+    xs AS (
+        SELECT doc_id,
+               list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS x
+        FROM toks WHERE len(w) >= {_SPAN_K}
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(x) - {_SPAN_K - 2}), i ->
+                   list_reduce(list_prepend(0, x[i:i+{_SPAN_K - 1}]),
+                               (acc, v) -> (acc * {_H_B1} + v) % {_H_MOD}) * {1 << 31}
+                 + list_reduce(list_prepend(0, x[i:i+{_SPAN_K - 1}]),
+                               (acc, v) -> (acc * {_H_B2} + v) % {_H_MOD})) AS sh
+        FROM xs
+    ),
+    spans AS (SELECT DISTINCT doc_id, unnest(sh) AS h FROM sh)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_spans
     FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -288,20 +301,18 @@ def exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash) pairs stream through ONE shuffle; pair expansion uses the
     two-generator in-bucket stream so a boilerplate span shared by k
     documents never materializes its k² pairs in memory. n_shared_spans
-    counts distinct shared spans per pair."""
+    counts distinct shared spans per pair.
+
+    Span hashing is the shared polynomial family (per-token md5 values +
+    double Horner fold into a 62-bit BIGINT, numpy kernel with an
+    integer-equal JVM twin — see :func:`_selected_span_fingerprints`
+    with window=1, i.e. every span kept): r3's md5-of-concat form paid
+    ~100-char CONCAT + md5 per span AND shuffled 32-char strings; the
+    62-bit longs shuffle 4× smaller (24.7 → ~9 s at sf10). Collision
+    risk at 62 bits is ~1e-4 expected pairs on 26M spans, and the
+    oracle replays the identical hashes."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("w")).filter(
-        F.size("w") >= _SPAN_K
-    )
-    spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - (_SPAN_K - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _SPAN_K))),
-            )
-        ).alias("h"),
-    ).distinct()
+    spans = _selected_span_fingerprints(docs, impl="arrow", window=1)
     buckets = (
         spans.groupBy("h")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -315,12 +326,6 @@ def exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_spans"))
-
-
-_THIN_P = 8  # winnowing window (spans); recall guaranteed for runs >= K+P-1
-_H_MOD = (1 << 31) - 1
-_H_B1 = 1000003
-_H_B2 = 999983
 
 
 def _token_values(docs: DataFrame) -> DataFrame:
@@ -338,13 +343,17 @@ def _token_values(docs: DataFrame) -> DataFrame:
     )
 
 
-def _selected_span_fingerprints(docs: DataFrame, impl: str = "arrow") -> DataFrame:
+def _selected_span_fingerprints(
+    docs: DataFrame, impl: str = "arrow", window: int = _THIN_P
+) -> DataFrame:
     """(doc_id, h): the winnowing-selected span fingerprints of each
-    document, distinct per document. ``impl="arrow"`` (default) folds the
-    two Horner passes and the sliding minima as whole-array numpy int64
-    ops in one ``mapInPandas`` kernel; ``impl="hof"`` is the pure-JVM
-    higher-order form — byte-identical integers (pinned by pytest), ~6×
-    slower at sf10 because HOF lambdas interpret per element."""
+    document, distinct per document; ``window=1`` keeps EVERY span (the
+    un-thinned exact form — the min over a 1-window is the span itself).
+    ``impl="arrow"`` (default) folds the two Horner passes and the
+    sliding minima as whole-array numpy int64 ops in one ``mapInPandas``
+    kernel; ``impl="hof"`` is the pure-JVM higher-order form —
+    byte-identical integers (pinned by pytest), ~6× slower at sf10
+    because HOF lambdas interpret per element."""
     xs = _token_values(docs)
     if impl == "hof":
 
@@ -364,26 +373,25 @@ def _selected_span_fingerprints(docs: DataFrame, impl: str = "arrow") -> DataFra
             ).alias("__sh"),
         )
         n_sh = F.size(F.col("__sh"))
-        return sh.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.when(
-                        n_sh >= _THIN_P,
-                        F.transform(
-                            F.sequence(F.lit(1), n_sh - (_THIN_P - 1)),
-                            lambda i: F.array_min(F.slice("__sh", i, _THIN_P)),
-                        ),
-                    ).otherwise(F.array(F.array_min("__sh")))
-                )
-            ).alias("h"),
-        )
+        if window == 1:
+            sel_arr = F.array_distinct(F.col("__sh"))
+        else:
+            sel_arr = F.array_distinct(
+                F.when(
+                    n_sh >= window,
+                    F.transform(
+                        F.sequence(F.lit(1), n_sh - (window - 1)),
+                        lambda i: F.array_min(F.slice("__sh", i, window)),
+                    ),
+                ).otherwise(F.array(F.array_min("__sh")))
+            )
+        return sh.select("doc_id", F.explode(sel_arr).alias("h"))
     if impl != "arrow":
         raise ValueError(f"unknown impl {impl!r}")
     import numpy as np
     import pandas as pd
 
-    k, p, m, b1, b2 = _SPAN_K, _THIN_P, _H_MOD, _H_B1, _H_B2
+    k, p, m, b1, b2 = _SPAN_K, window, _H_MOD, _H_B1, _H_B2
 
     def kernel(batches):
         for pdf in batches:
@@ -403,7 +411,9 @@ def _selected_span_fingerprints(docs: DataFrame, impl: str = "arrow") -> DataFra
                     h2 += xv
                     h2 %= m
                 sh = h1 * (1 << 31) + h2
-                if ng >= p:
+                if p == 1:
+                    wm = sh
+                elif ng >= p:
                     nw = ng - p + 1
                     wm = sh[:nw].copy()
                     for j in range(1, p):
