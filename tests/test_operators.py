@@ -700,12 +700,13 @@ def test_winnowed_span_fingerprints_arrow_equals_hof(spark, sf_dir):
         "doc_id long, text string, source string",
     )
     docs = docs.select("doc_id", "text", "source").unionByName(extra)
-    hof = _selected_span_fingerprints(docs, impl="hof")
-    arrow = _selected_span_fingerprints(docs, impl="arrow")
-    assert hof.count() > 0
-    assert arrow.filter(F.col("doc_id") == 999_000_001).count() == 1
-    assert hof.subtract(arrow).count() == 0
-    assert arrow.subtract(hof).count() == 0
+    for window in (8, 1):  # thinned form and the every-span (window=1) form
+        hof = _selected_span_fingerprints(docs, impl="hof", window=window)
+        arrow = _selected_span_fingerprints(docs, impl="arrow", window=window)
+        assert hof.count() > 0, window
+        assert arrow.filter(F.col("doc_id") == 999_000_001).count() == 1, window
+        assert hof.subtract(arrow).count() == 0, window
+        assert arrow.subtract(hof).count() == 0, window
 
 
 def test_revenue_by_region_paths_agree(spark, sf_dir):
