@@ -54,6 +54,18 @@ def main() -> None:
             print(f"    {name} {times[name]}s", file=_sys.stderr, flush=True)
         except Exception as exc:  # keep sweeping; report at the end
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            # a query that killed the SparkContext (executor OOM in local
+            # mode stops the whole JVM context) must not cascade a
+            # stopped-context error into every later row — rebuild
+            try:
+                dead = spark.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                dead = True
+            if dead:
+                print(f"    {name} stopped the SparkContext — rebuilding session",
+                      file=_sys.stderr, flush=True)
+                spark = get_spark("scale-audit")
+                spark.sparkContext.setLogLevel("ERROR")
 
     ordered = dict(sorted(times.items(), key=lambda kv: -kv[1]))
     print(

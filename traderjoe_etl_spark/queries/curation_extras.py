@@ -20,6 +20,7 @@ Three shapes a training-data platform runs that the r3 registry lacked:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -293,7 +294,12 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (~7× here: 3 contribution rounds + degrees + node set),
     measured 54.9 s vs ~13 s at sf10. Audit timings therefore cover the
     three rounds + degree/node aggregates against the materialized
-    edges; the one-time edge build happens at plan construction."""
+    edges; the one-time edge build happens at plan construction. The
+    checkpoint is DISK_ONLY: the default MEMORY_AND_DISK level holds
+    DESERIALIZED rows on-heap, and a ~90M-edge graph at sf100 GC-thrashed
+    an 8 GB driver into a SparkContext-killing stage failure — edges are
+    read once per round sequentially, so heap caching buys nothing a
+    local disk read doesn't."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     edges = (
@@ -307,7 +313,7 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + F.lit(_PR_SUPPLIER_OFFSET)).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
