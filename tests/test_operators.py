@@ -235,8 +235,10 @@ def test_cosine_near_dup_degenerate_bucket_bounded(spark):
         F.col("embedding").alias("__v"),
         lsh_bucket_key("embedding", planes).alias("__bucket"),
     )
+    cnt = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    big = b.join(cnt, "__bucket").filter(F.col("__cnt") > cap)
     sizes = (
-        _block_assignments(b, cap)
+        _block_assignments(big, cap)
         .groupBy("__bucket", "__i", "__j")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

@@ -64,6 +64,13 @@ def main() -> None:
             if dead:
                 print(f"    {name} stopped the SparkContext — rebuilding session",
                       file=_sys.stderr, flush=True)
+                # getOrCreate alone would hand back the SAME dead session:
+                # a JVM-side stop doesn't clear PySpark's _instantiatedSession
+                # singletons — only a Python-side stop() does.
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
                 spark = get_spark("scale-audit")
                 spark.sparkContext.setLogLevel("ERROR")
 

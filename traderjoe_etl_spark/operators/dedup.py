@@ -526,17 +526,21 @@ def ngram_jaccard_pairs(
     The shingle-set projection is the expensive part (k-word CONCAT per
     position — the minhash floor), so docs are SEMI-JOINED to the
     candidate-pair id set BEFORE it: verification cost scales with
-    |candidate docs|, not |corpus| (a broadcast-semi map-side filter on
-    the scan; measured 19.5 → ~6 s at sf10 where ~1M docs held ~10³
-    candidates). Results are identical — pairs only ever reference their
-    own ids."""
+    |candidate docs|, not |corpus| (with a small candidate set AQE plans
+    the semi join as a broadcast — a map-side filter on the scan;
+    measured 19.5 → ~6 s at sf10 where ~1M docs held ~10³ candidates).
+    No forced broadcast hint: a degenerate duplicate cluster makes the
+    candidate id set corpus-sized, and F.broadcast() would override the
+    size threshold and ship it to every task — AQE picks broadcast vs
+    shuffle from the measured size instead. Results are identical —
+    pairs only ever reference their own ids."""
     cand_ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
     )
     pruned = docs.join(
-        F.broadcast(cand_ids),
+        cand_ids,
         docs[id_col] == cand_ids["__id"],
         "left_semi",
     )

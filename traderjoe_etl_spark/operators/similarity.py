@@ -629,18 +629,17 @@ def _triangle_score(pdf, threshold: float):
     return _pairs_frame(out_a, out_b, out_c)
 
 
-def _block_assignments(bucketed: DataFrame, max_bucket_rows: int) -> DataFrame:
-    """Block-pair replication for over-cap buckets: rows hash into
-    ``nb = ceil(count / cap)`` blocks by id, and each row is emitted once
-    into every block-pair group ``(__i, __j) = (min(bi, p), max(bi, p))``
-    it participates in (p sweeps the partner blocks). Every unordered
-    vector pair lands in exactly ONE group — the one keyed by its two
-    block ids — and a group holds ~2·cap rows regardless of bucket size."""
-    cnt = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+def _block_assignments(big: DataFrame, max_bucket_rows: int) -> DataFrame:
+    """Block-pair replication for over-cap buckets (input: the bucketed
+    rows already joined with their bucket count as ``__cnt`` and filtered
+    to count > cap): rows hash into ``nb = ceil(count / cap)`` blocks by
+    id, and each row is emitted once into every block-pair group
+    ``(__i, __j) = (min(bi, p), max(bi, p))`` it participates in (p
+    sweeps the partner blocks). Every unordered vector pair lands in
+    exactly ONE group — the one keyed by its two block ids — and a group
+    holds ~2·cap rows regardless of bucket size."""
     big = (
-        bucketed.join(cnt, "__bucket")
-        .filter(F.col("__cnt") > max_bucket_rows)
-        .withColumn("__nb", F.ceil(F.col("__cnt") / F.lit(max_bucket_rows)).cast("int"))
+        big.withColumn("__nb", F.ceil(F.col("__cnt") / F.lit(max_bucket_rows)).cast("int"))
         .withColumn("__bi", F.pmod(F.xxhash64("__id"), F.col("__nb")).cast("int"))
     )
     return big.select(
@@ -705,24 +704,37 @@ def _near_dup_pairs_arrow(
             return _pairs_frame([], [], [])
         ids_a, An = _normed(a)
         ids_b, Bn = _normed(b)
-        S = An @ Bn.T
-        ai, bj = np.nonzero(S >= threshold)
-        if not ai.size:
-            return _pairs_frame([], [], [])
-        ia, ib = ids_a[ai], ids_b[bj]
-        return _pairs_frame(
-            [np.minimum(ia, ib)], [np.maximum(ia, ib)], [S[ai, bj]]
-        )
+        # 2048² tile blocking: an unblocked An @ Bn.T is cap² doubles —
+        # ~134 MB per group at the default cap, i.e. the very spike class
+        # this path exists to prevent (and quadratic in any raised cap)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        block = 2048
+        for s0 in range(0, len(ids_a), block):
+            Ab = An[s0 : s0 + block]
+            ia_blk = ids_a[s0 : s0 + block]
+            for t0 in range(0, len(ids_b), block):
+                S = Ab @ Bn[t0 : t0 + block].T
+                ai, bj = np.nonzero(S >= threshold)
+                if ai.size:
+                    ia = ia_blk[ai]
+                    ib = ids_b[t0 : t0 + block][bj]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_c.append(S[ai, bj])
+        return _pairs_frame(out_a, out_b, out_c)
 
+    # ONE bucket-count aggregate feeds both paths (the small filter and
+    # the big path's block sizing) — the count join is shared, not built
+    # twice
     cnt = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
-    small = (
-        bucketed.join(cnt, "__bucket")
-        .filter(F.col("__cnt") <= max_bucket_rows)
-        .drop("__cnt")
-    )
+    joined = bucketed.join(cnt, "__bucket")
+    small = joined.filter(F.col("__cnt") <= max_bucket_rows).drop("__cnt")
+    big = joined.filter(F.col("__cnt") > max_bucket_rows)
     small_pairs = small.groupBy("__bucket").applyInPandas(score, pair_schema)
     big_pairs = (
-        _block_assignments(bucketed, max_bucket_rows)
+        _block_assignments(big, max_bucket_rows)
         .groupBy("__bucket", "__i", "__j")
         .applyInPandas(score_block_pair, pair_schema)
     )
@@ -896,6 +908,8 @@ def pca_fit(
         .mapInArrow(partials, "n long, s array<double>, g array<double>")
         .collect()
     )
+    if not parts:
+        raise ValueError("pca_fit: empty input corpus (no vectors to fit)")
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"], dtype=np.float64) for r in parts], axis=0)
     G = np.sum(

@@ -227,7 +227,7 @@ def prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_D = 0.85
 _PR_ITERS = 3
-_PR_SUPPLIER_OFFSET = 1_000_000
+_PR_SUPPLIER_OFFSET = 10**12
 
 
 def _pagerank_oracle() -> str:
