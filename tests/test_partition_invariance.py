@@ -36,6 +36,9 @@ CASES = [
     "bigram_surprisal_scores",       # rounded-score ranking over float sums (r4)
     "prototype_pruning",             # rounded centroid/cosine thresholds (r4)
     "pagerank_sources",              # per-iteration rounded rank sums (r4)
+    "segment_dedup_corpus",          # packed-key min + per-doc reconstruction (r4)
+    "dsir_importance_resample",      # hashed-bucket stats + rounded ranking (r4)
+    "kmeans_cluster_stats",          # rounded-centroid Lloyd rounds (r4)
 ]
 
 

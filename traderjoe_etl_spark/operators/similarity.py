@@ -363,6 +363,61 @@ def _assign_arrow(emb: DataFrame, cents, vec_col: str, unit) -> DataFrame:
     return emb.mapInArrow(assign_batches, ddl + ", cluster int")
 
 
+def l2_assign_arrow(
+    emb: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment under squared-L2, emitting the distance:
+    appends ``cluster int`` and ``dist double`` (rounded to 6 dp) to the
+    input columns. One vectorized numpy pass per Arrow batch computes
+    ``sum((x - c)**2)`` per centroid EXPLICITLY (no ``|x|²-2x·c+|c|²``
+    expansion — the expansion's cancellation amplifies float error near
+    zero distances, which matters because identical vectors must score a
+    clean 0.0 against their own centroid). Assignment is argmin over the
+    ROUNDED distance with first-occurrence (= lowest cluster id) tie-break
+    — the exact semantics a SQL oracle replays with
+    ``row_number() OVER (ORDER BY round(d, 6), cid)``.
+
+    Rounding note: np.round is half-even while SQL round() is half-away;
+    a float64 sum of squares landing exactly on a representable 5e-7
+    half-grid point is the only divergence case and does not occur for
+    non-degenerate data (0.0 and other exact grid values round identically
+    everywhere). Same 1-ulp caveat class as the cosine kernels above.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cluster_ids = np.array([i for i, _ in cents], dtype=np.int32)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+
+    def assign_batches(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vi = b.schema.get_field_index(vec_col)
+            A = (
+                b.column(vi)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            D = np.empty((n, C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[0]):
+                diff = A - C[j]
+                D[:, j] = np.einsum("ij,ij->i", diff, diff)
+            Dr = np.round(D, 6)
+            idx = np.argmin(Dr, axis=1)  # first min = lowest cluster id
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns)
+                + [pa.array(cluster_ids[idx]), pa.array(Dr[np.arange(n), idx])],
+                names=list(b.schema.names) + ["cluster", "dist"],
+            )
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields)
+    return emb.mapInArrow(assign_batches, ddl + ", cluster int, dist double")
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
