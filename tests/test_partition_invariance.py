@@ -39,6 +39,8 @@ CASES = [
     "segment_dedup_corpus",          # packed-key min + per-doc reconstruction (r4)
     "dsir_importance_resample",      # hashed-bucket stats + rounded ranking (r4)
     "kmeans_cluster_stats",          # rounded-centroid Lloyd rounds (r4)
+    "logreg_quality_gate",           # rounded gradient-descent weight path (r4)
+    "pmi_collocations",              # rounded log-ratio ranking (r4)
 ]
 
 

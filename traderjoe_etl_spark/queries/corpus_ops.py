@@ -319,3 +319,201 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("dist"), 6).alias("avg_dist")
     ).select(F.col("cluster").alias("cluster_id"), "n", "avg_dist")
+
+
+_LR_ITERS = 3
+_LR_RATE = 1.0
+_LR_X1_SQL = "length(text) / 500.0"
+_LR_X2_SQL = f"len({_TOK_SQL}) / 100.0"
+_LR_Y_SQL = f"CASE WHEN source IN {str(tuple(_DSIR_TGT))} THEN 1.0 ELSE 0.0 END"
+
+
+def _logreg_oracle() -> str:
+    head = f"""
+    WITH feats AS (
+        SELECT doc_id, {_LR_X1_SQL} AS x1, {_LR_X2_SQL} AS x2, {_LR_Y_SQL} AS y
+        FROM documents
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
+    iters = []
+    for t in range(_LR_ITERS):
+        p = f"1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2)))"
+        iters.append(f"""
+    w{t + 1} AS (
+        SELECT round(w.b  - {_LR_RATE} * avg(({p} - f.y)), 6)        AS b,
+               round(w.w1 - {_LR_RATE} * avg(({p} - f.y) * f.x1), 6) AS w1,
+               round(w.w2 - {_LR_RATE} * avg(({p} - f.y) * f.x2), 6) AS w2
+        FROM feats f CROSS JOIN w{t} w
+        GROUP BY w.b, w.w1, w.w2
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"""
+    SELECT doc_id, score, rk
+    FROM (
+        SELECT f.doc_id,
+               round(1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score,
+               row_number() OVER (
+                   ORDER BY round(1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) DESC,
+                            f.doc_id) AS rk
+        FROM feats f CROSS JOIN w{_LR_ITERS} w)
+    WHERE rk <= 20
+    """
+    )
+
+
+@query("logreg_quality_gate", oracle=_logreg_oracle())
+def logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate trained IN the engine: full-batch
+    gradient descent for logistic regression (3 unrolled iterations,
+    lr=1, features = scaled doc length + token count, label = membership
+    in the target sources), then score every document with the learned
+    weights and return the top 20 — the fastText-classifier-style gate
+    (GPT-3/LLaMA-recipe quality filtering) expressed as pure aggregates.
+
+    The scale shape is the whole point: one GD iteration is ONE partial-
+    aggregated pass (three avg() gradient components — map-side
+    combinable, shuffle carries 3 doubles per map partition), so a 100-TB
+    fit is 3 scans + 3 kilobyte-sized driver updates; nothing resembling
+    per-row model state ever shuffles. Weights live on the driver between
+    iterations (the kmeans/pca precedent — bounded 1-row collect at plan
+    build) and re-enter each pass as literals. Cross-engine determinism:
+    each iteration's weights are rounded to 6 dp IN SQL on both sides
+    (driver-side Python round() is half-even, SQL round() half-away — the
+    rounding must happen in the engine), so both engines descend through
+    identical weight vectors; exp()'s 1-ulp libm wobble sits inside an
+    averaged, rounded update and cannot flip it (the pagerank rule).
+    On this synthetic corpus length barely predicts source, so the
+    learned weights are small — the determinism contract, not the AUC,
+    is what the oracle pins."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.length("text") / F.lit(500.0)).alias("x1"),
+        (F.size(tokens("text")) / F.lit(100.0)).alias("x2"),
+        F.col("source").isin(*_DSIR_TGT).cast("double").alias("y"),
+    )
+    w = (0.0, 0.0, 0.0)
+    for _ in range(_LR_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            F.round(F.lit(w[0]) - F.lit(_LR_RATE) * F.avg(p - F.col("y")), 6).alias("b"),
+            F.round(
+                F.lit(w[1]) - F.lit(_LR_RATE) * F.avg((p - F.col("y")) * F.col("x1")), 6
+            ).alias("w1"),
+            F.round(
+                F.lit(w[2]) - F.lit(_LR_RATE) * F.avg((p - F.col("y")) * F.col("x2")), 6
+            ).alias("w2"),
+        ).collect()[0]
+        w = (float(row["b"]), float(row["w1"]), float(row["w2"]))
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        feats.select("doc_id", score.alias("score"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    bg AS (
+        SELECT w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    uni AS (
+        SELECT u, count(*) AS c1
+        FROM (SELECT unnest({_TOK_SQL}) AS u FROM documents)
+        WHERE u <> '' GROUP BY 1
+    ),
+    nb AS (SELECT sum(c2) AS nb FROM c2),
+    nt AS (SELECT sum(c1) AS nt FROM uni),
+    scored AS (
+        SELECT c2.w1, c2.w2, c2.c2 AS pair_n,
+               ln((CAST(c2.c2 AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                  / ((CAST(u1.c1 AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+                     * (CAST(u2.c1 AS DOUBLE) / CAST(nt.nt AS DOUBLE)))) AS pmi
+        FROM c2
+        JOIN uni u1 ON u1.u = c2.w1
+        JOIN uni u2 ON u2.u = c2.w2
+        CROSS JOIN nb CROSS JOIN nt
+        WHERE c2.c2 >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(pair_n AS BIGINT) AS pair_n, round(pmi, 6) AS pmi, rk
+    FROM (SELECT *, row_number() OVER (ORDER BY round(pmi, 6) DESC, w1, w2) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with bigram probabilities
+    over adjacent-pair instances and unigram probabilities over the token
+    stream; pairs seen < 5 times are cut (the classic low-count PMI
+    blowup guard), top 20 by rounded PMI. The phrase-mining pass a
+    pipeline runs before tokenizer training (which multi-word units
+    deserve merges).
+
+    Plan shape: bigram and unigram stats are two partial-aggregated
+    explode passes (vocabulary-sized outputs); scoring joins the
+    bigram-vocab relation against the unigram stats twice on hashed term
+    keys and broadcasts the two 1-row totals. No window touches an
+    unaggregated partition; ranking is on the 6-dp-rounded score
+    (tfidf/bigram-surprisal discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("u"))
+        .filter(F.col("u") != "")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nb = c2.agg(F.sum("c2").alias("nb"))
+    nt = uni.agg(F.sum("c1").alias("nt"))
+    scored = (
+        c2.filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .join(uni.select(F.col("u").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(uni.select(F.col("u").alias("w2"), F.col("c1").alias("c1b")), "w2")
+        .join(F.broadcast(nb))
+        .join(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_n"),
+            F.log(
+                (F.col("c2").cast("double") / F.col("nb").cast("double"))
+                / (
+                    (F.col("c1a").cast("double") / F.col("nt").cast("double"))
+                    * (F.col("c1b").cast("double") / F.col("nt").cast("double"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    win = Window.orderBy(F.desc(F.round("pmi", 6)), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 20)
+        .select("w1", "w2", "pair_n", F.round("pmi", 6).alias("pmi"), "rk")
+    )
