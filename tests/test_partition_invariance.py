@@ -41,6 +41,7 @@ CASES = [
     "kmeans_cluster_stats",          # rounded-centroid Lloyd rounds (r4)
     "logreg_quality_gate",           # rounded gradient-descent weight path (r4)
     "pmi_collocations",              # rounded log-ratio ranking (r4)
+    "bpe_merge_training",            # integer pair-count argmax per round (r4)
 ]
 
 

@@ -517,3 +517,160 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("w1", "w2", "pair_n", F.round("pmi", 6).alias("pmi"), "rk")
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    head = f"""
+    WITH v AS (
+        SELECT w AS word, count(*) AS wc
+        FROM (SELECT unnest({_TOK_SQL}) AS w FROM documents)
+        WHERE w <> '' GROUP BY 1
+    ),
+    s0 AS (SELECT word, wc, string_split(word, '') AS s FROM v)"""
+    parts = []
+    for r in range(_BPE_ROUNDS):
+        parts.append(f"""
+    p{r} AS (
+        SELECT s[i+1] AS a, s[i+2] AS b, sum(wc) AS cnt
+        FROM s{r}, unnest(range(0, len(s) - 1)) AS t(i)
+        WHERE len(s) >= 2 GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    pos{r} AS (
+        SELECT word, wc, CAST(i AS INT) AS i, s[i+1] AS sym,
+               CASE WHEN i < len(s) - 1 AND s[i+1] = mm.a AND s[i+2] = mm.b
+                    THEN 1 ELSE 0 END AS mt
+        FROM s{r} CROSS JOIN m{r} mm, unnest(range(0, len(s))) AS t(i)
+    ),
+    sel{r} AS (
+        SELECT *, CASE WHEN mt = 1 AND (row_number() OVER (
+                           PARTITION BY word, mt, i - ct ORDER BY i)) % 2 = 1
+                       THEN 1 ELSE 0 END AS sl
+        FROM (SELECT *, sum(mt) OVER (PARTITION BY word ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) AS ct
+              FROM pos{r})
+    ),
+    s{r + 1} AS (
+        SELECT word, wc,
+               list(CASE WHEN sl = 1 THEN sym || nsym ELSE sym END ORDER BY i)
+                   FILTER (WHERE coalesce(lsl, 0) = 0) AS s
+        FROM (SELECT *, lag(sl) OVER (PARTITION BY word ORDER BY i) AS lsl,
+                        lead(sym) OVER (PARTITION BY word ORDER BY i) AS nsym
+              FROM sel{r})
+        GROUP BY 1, 2
+    )""")
+    tail = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_n FROM m{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    return head + "," + ",".join(parts) + "\n    " + tail
+
+
+@query("bpe_merge_training", oracle=_bpe_oracle())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training as relational algebra: learn the first 3
+    merge rules over the corpus (count adjacent symbol pairs weighted by
+    word frequency → adopt the most frequent pair, lexicographic (a, b)
+    tie-break → apply it greedy-leftmost to every word → repeat).
+    Returns the learned merge table (rank, pair, count) — the artifact a
+    tokenizer-training job ships.
+
+    The scale argument is the classic BPE-trainer design: ONE corpus pass
+    builds the word-frequency vocabulary (partial-aggregated groupBy),
+    which is localCheckpoint-materialized (the pagerank static-relation
+    rule — otherwise every merge round re-derives the corpus explode);
+    every subsequent round touches only the vocab-sized relation. Merge
+    application is a map-only HOF pass per word: greedy-leftmost
+    selection is the sequential recurrence sel[i] = match[i] ∧ ¬sel[i−1]
+    — an F.aggregate fold over the (short) symbol array — then a
+    flatten(transform(...)) rebuild (output ≤ |word| symbols, so the
+    flatten anti-pattern bound doesn't apply). The oracle replays the
+    identical greedy semantics with the run-parity window form
+    (row_number over (word, i − running-match-count) islands — odd
+    positions in each run of consecutive matches are exactly the fold's
+    picks). Pair counts are integers, so the argmax is engine-exact: no
+    float discipline needed anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select("wc", F.split("w", "").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+    def apply_merge(s, a, b):
+        n = F.size(s)
+        one = F.lit(1)
+
+        def m(st, i):
+            return (F.get(s, i) == a) & (F.get(s, i + one) == b) & ~st["prev"]
+
+        sel = F.aggregate(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            F.struct(
+                F.lit(False).alias("prev"),
+                F.array().cast("array<boolean>").alias("acc"),
+            ),
+            lambda st, i: F.struct(
+                m(st, i).alias("prev"),
+                F.concat(st["acc"], F.array(m(st, i))).alias("acc"),
+            ),
+            lambda st: st["acc"],
+        )
+        merged = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - one),
+                lambda i: F.when(
+                    F.coalesce(F.get(sel, i - one), F.lit(False)),
+                    F.array().cast("array<string>"),
+                )
+                .when(
+                    F.coalesce(F.get(sel, i), F.lit(False)),
+                    F.array(F.concat(F.get(s, i), F.get(s, i + one))),
+                )
+                .otherwise(F.array(F.get(s, i))),
+            )
+        )
+        return F.when(n >= 2, merged).otherwise(s)
+
+    merges = []
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            vocab.filter(F.size("s") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("s") - 2),
+                        lambda i: F.struct(
+                            F.get(F.col("s"), i).alias("a"),
+                            F.get(F.col("s"), i + F.lit(1)).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("wc", "p.a", "p.b")
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wc").alias("cnt"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("a"), F.col("b"))
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        a, b, cnt = best["a"], best["b"], -best["nc"]
+        merges.append((len(merges) + 1, a, b, int(cnt)))
+        vocab = vocab.select(
+            "wc", apply_merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_n long"
+    )
