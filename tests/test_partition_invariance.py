@@ -42,6 +42,8 @@ CASES = [
     "logreg_quality_gate",           # rounded gradient-descent weight path (r4)
     "pmi_collocations",              # rounded log-ratio ranking (r4)
     "bpe_merge_training",            # integer pair-count argmax per round (r4)
+    "markov_transitions",            # unique (ts, event_id) sequence tie-break (r4)
+    "funnel_progression",            # ordered-stage min-ts joins (r4)
 ]
 
 

@@ -48,6 +48,7 @@ def load_all() -> None:
     """Import every query module (idempotent)."""
     from . import (  # noqa: F401
         advanced_ops,
+        behavior_ops,
         corpus_ops,
         coverage_extras,
         curation_extras,

@@ -1,0 +1,186 @@
+"""Behavioral / product-analytics shapes over the events stream (round 4):
+Markov transition estimation, funnel progression, retention cohorts.
+
+The event-sequence family a platform runs next to sessionization: what do
+users do next (first-order Markov chain over event types), how do they
+move through an ordered goal funnel, and how do signup cohorts retain
+week over week. All three are pure DataFrame composition with full SQL
+oracles; determinism comes from integer counts and unique tie-breaks
+(ts, event_id) — no float discipline needed beyond rounding the derived
+rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, sum(n) AS t FROM trans GROUP BY 1)
+    SELECT trans.cur, trans.nxt, CAST(trans.n AS BIGINT) AS n,
+           round(CAST(trans.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS p
+    FROM trans JOIN tot USING (cur)
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event sequences: count
+    (current → next) event-type transitions (next = the user's next event
+    by (ts, event_id) — the unique tie-break that makes the sequence, and
+    therefore every count, engine- and partitioning-exact) and estimate
+    the conditional next-event distribution P(next | current).
+
+    Plan shape: ONE window pass partitioned by user (per-user partitions
+    are bounded by a user's event count — the sessionization shape, never
+    a global sort), partial-aggregated transition counts (|types|² rows),
+    and a broadcast-sized per-state total joined back. At 100 TB the only
+    corpus-scale operation is the user-key shuffle the window needs;
+    everything after is |event-type-vocabulary|-sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("cur").agg(F.sum("n").alias("t"))
+    return trans.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias("p"),
+    )
+
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "funnel_progression",
+    oracle=f"""
+    WITH u1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
+    ),
+    u2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+        WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY 1
+    ),
+    u3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t
+        WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY 1
+    ),
+    c AS (SELECT (SELECT count(*) FROM u1) AS c1,
+                 (SELECT count(*) FROM u2) AS c2,
+                 (SELECT count(*) FROM u3) AS c3)
+    SELECT s.stage, s.users, round(CAST(s.users AS DOUBLE) / CAST(c.c1 AS DOUBLE), 6) AS conv
+    FROM c, (SELECT 1 AS rk, '{_FUNNEL[0]}' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM u1) AS users
+             UNION ALL SELECT 2, '{_FUNNEL[1]}', (SELECT count(*) FROM u2)
+             UNION ALL SELECT 3, '{_FUNNEL[2]}', (SELECT count(*) FROM u3)) s
+    """,
+)
+def funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered goal funnel (view → click → purchase): a user advances to
+    stage k only with an event of stage-k's type STRICTLY AFTER their
+    stage-(k−1) entry time — the standard product-analytics funnel, not a
+    mere per-type distinct count. Returns per-stage user counts and
+    conversion versus stage 1.
+
+    Plan shape: stage k is one filtered partial-aggregated min(ts) per
+    user joined against stage k−1's (user, entry-ts) relation — the
+    relations shrink monotonically, every join is an equi-join on
+    user_id, and the strict-inequality predicate rides the join. Spark
+    plans each stage as one fact-scan + user-keyed shuffle; nothing is
+    ever per-event-pair. The three scalar counts collapse to 1-row
+    aggregates cross-joined onto a 3-row literal — broadcast by size."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str) -> DataFrame:
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            p = prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt"))
+            src = src.join(
+                p, (src.user_id == p.pu) & (src.ts > p.pt)
+            )
+        return src.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    u1 = stage(None, _FUNNEL[0])
+    u2 = stage(u1, _FUNNEL[1])
+    u3 = stage(u2, _FUNNEL[2])
+    counts = (
+        u1.agg(F.count(F.lit(1)).alias("users")).select(F.lit(1).alias("rk"), F.lit(_FUNNEL[0]).alias("stage"), "users")
+        .unionAll(u2.agg(F.count(F.lit(1)).alias("users")).select(F.lit(2).alias("rk"), F.lit(_FUNNEL[1]).alias("stage"), "users"))
+        .unionAll(u3.agg(F.count(F.lit(1)).alias("users")).select(F.lit(3).alias("rk"), F.lit(_FUNNEL[2]).alias("stage"), "users"))
+    )
+    c1 = u1.agg(F.count(F.lit(1)).alias("c1"))
+    return counts.join(F.broadcast(c1)).select(
+        "stage",
+        F.col("users").cast("long").alias("users"),
+        F.round(F.col("users").cast("double") / F.col("c1").cast("double"), 6).alias("conv"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cw, a.wk) / 7 AS INT) AS offset_weeks,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM first f JOIN act a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week of a user's first
+    event; for every (cohort, week-offset) count how many of the
+    cohort's users were active that week. The classic growth-analytics
+    rollup, engine-exact because every quantity is a truncated date or
+    an integer count (offsets are exact multiples of 7 days — the
+    division can't round).
+
+    Plan shape: one per-user min aggregate (partial-agg), one distinct
+    over (user, week) (partial-agg — the distinct's key space is users ×
+    active weeks, far smaller than events), one user-keyed equi-join,
+    one final partial-agg count. Both sides of the join are
+    user-cardinality relations; at 100 TB the events table is touched
+    exactly twice, both embarrassingly parallel."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cw") / 7).cast("int").alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
