@@ -178,3 +178,60 @@ def test_text_profile_tokenizes_once(spark):
         .toString()
     )
     assert plan.count("split(") == 1, f"tokenizer inlined {plan.count('split(')}x"
+
+
+GLOBAL_TOPK = [
+    "dsir_importance_resample",
+    "logreg_quality_gate",
+    "pmi_collocations",
+    "bigram_surprisal_scores",
+    "pagerank_sources",
+    "bm25_search",
+    "vocab_top_terms",
+]
+
+
+@pytest.mark.parametrize("name", GLOBAL_TOPK)
+def test_global_topk_is_limit_then_rank(spark, qs, name):
+    """Global ranked top-k must cut with TakeOrderedAndProject (per-
+    partition k-heaps) BEFORE the rank window: Spark's WindowGroupLimit
+    prune never fires for an empty partition spec, so a pre-limit global
+    window ranks the entire input through one task at scale. The window
+    may only ever see the already-limited k rows — i.e. it must sit
+    ABOVE the TakeOrderedAndProject in the plan."""
+    f = plan_facts(qs[name](spark, SF))
+    assert "TakeOrderedAndProject" in f.operators, name
+    # the Window node (if any) must consume the limited rows: in the
+    # formatted plan the TakeOrderedAndProject appears below (= higher
+    # operator id than) the Window it feeds
+    text = f.text
+    if "Window" in f.operators:
+        assert text.index("Window") < text.index("TakeOrderedAndProject"), name
+
+
+def test_segment_dedup_no_window_no_text_shuffle(spark, qs):
+    """segment_dedup_corpus: first-occurrence = partial-aggregated min —
+    never a window over the fingerprint partition; segment text must not
+    appear in any exchange (only fingerprints + packed keys shuffle)."""
+    f = plan_facts(qs["segment_dedup_corpus"](spark, SF))
+    assert "windowspecdefinition" not in f.text.lower()
+    assert "Window" not in f.operators
+
+
+def test_kmeans_assignment_is_map_only(spark, qs):
+    """kmeans_cluster_stats: the returned plan is one mapInArrow
+    assignment + one k-group aggregate — a single exchange, no window,
+    no broadcast join (centroids enter as kernel constants)."""
+    f = plan_facts(qs["kmeans_cluster_stats"](spark, SF))
+    assert f.n_exchanges <= 1
+    assert "Window" not in f.operators
+
+
+def test_funnel_stages_are_equi_joins(spark, qs):
+    """funnel_progression: stage joins must be user-keyed equi-joins with
+    the strict-inequality as a post-condition — never a nested-loop over
+    events. (The 1-row scalar count joins legitimately plan as
+    BroadcastNestedLoopJoin — broadcast by size — so only multi-row
+    nested loops are banned, i.e. any CartesianProduct.)"""
+    f = plan_facts(qs["funnel_progression"](spark, SF))
+    assert "CartesianProduct" not in f.operators

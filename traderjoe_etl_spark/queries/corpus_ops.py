@@ -213,11 +213,15 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdoc = inst.join(F.broadcast(bs), "b").groupBy("doc_id").agg(
         F.avg("lw").alias("wt")
     )
+    # limit-then-rank (the vocab_top_terms pattern): the global cut is a
+    # TakeOrderedAndProject (per-partition k-heaps), and the rank window
+    # runs over the ALREADY-limited k rows — Spark's WindowGroupLimit
+    # prune never fires for empty partition specs, so a pre-limit global
+    # window would rank every doc through ONE task at scale.
+    top = wdoc.orderBy(F.desc(F.round("wt", 6)), "doc_id").limit(25)
     w = Window.orderBy(F.desc(F.round("wt", 6)), "doc_id")
-    return (
-        wdoc.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
-        .select("doc_id", F.round("wt", 6).alias("dsir_weight"), "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", F.round("wt", 6).alias("dsir_weight"), "rk"
     )
 
 
@@ -411,10 +415,13 @@ def logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = (float(row["b"]), float(row["w1"]), float(row["w2"]))
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return (
-        feats.select("doc_id", score.alias("score"))
-        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")))
-        .filter(F.col("rk") <= 20)
+    # limit-then-rank: TakeOrderedAndProject cut, window over the 20 rows
+    # (global windows never get the WindowGroupLimit prune)
+    top = feats.select("doc_id", score.alias("score")).orderBy(
+        F.desc("score"), "doc_id"
+    ).limit(20)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
     )
 
 
@@ -511,15 +518,60 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # limit-then-rank: TakeOrderedAndProject cut, window over the 20 rows
+    # (global windows never get the WindowGroupLimit prune)
+    top = scored.orderBy(F.desc(F.round("pmi", 6)), "w1", "w2").limit(20)
     win = Window.orderBy(F.desc(F.round("pmi", 6)), "w1", "w2")
-    return (
-        scored.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") <= 20)
-        .select("w1", "w2", "pair_n", F.round("pmi", 6).alias("pmi"), "rk")
+    return top.withColumn("rk", F.row_number().over(win)).select(
+        "w1", "w2", "pair_n", F.round("pmi", 6).alias("pmi"), "rk"
     )
 
 
 _BPE_ROUNDS = 3
+
+
+def bpe_apply_merge(s, a, b):
+    """Greedy-leftmost single-merge application on a symbol array column:
+    sel[i] = match[i] ∧ ¬sel[i−1] as an F.aggregate fold (the sequential
+    recurrence a window can only express via the run-parity trick — see
+    the oracle), then a flatten(transform) rebuild emitting the merged
+    symbol at each pick and dropping its consumed right neighbor. Output
+    ≤ |s| elements, so the flatten anti-pattern bound doesn't apply.
+    Words shorter than 2 symbols pass through unchanged (sequence() would
+    otherwise count DOWN from 0 to -1)."""
+    n = F.size(s)
+    one = F.lit(1)
+
+    def m(st, i):
+        return (F.get(s, i) == a) & (F.get(s, i + one) == b) & ~st["prev"]
+
+    sel = F.aggregate(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        F.struct(
+            F.lit(False).alias("prev"),
+            F.array().cast("array<boolean>").alias("acc"),
+        ),
+        lambda st, i: F.struct(
+            m(st, i).alias("prev"),
+            F.concat(st["acc"], F.array(m(st, i))).alias("acc"),
+        ),
+        lambda st: st["acc"],
+    )
+    merged = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - one),
+            lambda i: F.when(
+                F.coalesce(F.get(sel, i - one), F.lit(False)),
+                F.array().cast("array<string>"),
+            )
+            .when(
+                F.coalesce(F.get(sel, i), F.lit(False)),
+                F.array(F.concat(F.get(s, i), F.get(s, i + one))),
+            )
+            .otherwise(F.array(F.get(s, i))),
+        )
+    )
+    return F.when(n >= 2, merged).otherwise(s)
 
 
 def _bpe_oracle() -> str:
@@ -602,42 +654,6 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wc", F.split("w", "").alias("s"))
         .localCheckpoint(eager=True)
     )
-
-    def apply_merge(s, a, b):
-        n = F.size(s)
-        one = F.lit(1)
-
-        def m(st, i):
-            return (F.get(s, i) == a) & (F.get(s, i + one) == b) & ~st["prev"]
-
-        sel = F.aggregate(
-            F.sequence(F.lit(0), n - F.lit(2)),
-            F.struct(
-                F.lit(False).alias("prev"),
-                F.array().cast("array<boolean>").alias("acc"),
-            ),
-            lambda st, i: F.struct(
-                m(st, i).alias("prev"),
-                F.concat(st["acc"], F.array(m(st, i))).alias("acc"),
-            ),
-            lambda st: st["acc"],
-        )
-        merged = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), n - one),
-                lambda i: F.when(
-                    F.coalesce(F.get(sel, i - one), F.lit(False)),
-                    F.array().cast("array<string>"),
-                )
-                .when(
-                    F.coalesce(F.get(sel, i), F.lit(False)),
-                    F.array(F.concat(F.get(s, i), F.get(s, i + one))),
-                )
-                .otherwise(F.array(F.get(s, i))),
-            )
-        )
-        return F.when(n >= 2, merged).otherwise(s)
-
     merges = []
     for _ in range(_BPE_ROUNDS):
         pairs = (
@@ -669,7 +685,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = best["a"], best["b"], -best["nc"]
         merges.append((len(merges) + 1, a, b, int(cnt)))
         vocab = vocab.select(
-            "wc", apply_merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
+            "wc", bpe_apply_merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
         )
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_n long"

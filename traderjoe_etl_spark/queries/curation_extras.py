@@ -113,11 +113,15 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((-F.avg(lp)).alias("sup"))
     )
+    # limit-then-rank (vocab_top_terms pattern): TakeOrderedAndProject
+    # cut first; the rank window runs over the already-limited 20 rows —
+    # Spark's WindowGroupLimit prune never fires for empty partition
+    # specs, so a pre-limit global window would be a one-task rank of
+    # every doc at scale.
+    top = s.orderBy(F.desc(F.round("sup", 6)), "doc_id").limit(20)
     w = Window.orderBy(F.desc(F.round("sup", 6)), "doc_id")
-    return (
-        s.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", F.round("sup", 6).alias("surprisal"), "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", F.round("sup", 6).alias("surprisal"), "rk"
     )
 
 
@@ -342,11 +346,14 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1 - _PR_D) + F.lit(_PR_D) * F.coalesce(F.col("m"), F.lit(0.0)), 8
             ).alias("r"),
         )
+    # limit-then-rank: the top-20 cut is a TakeOrderedAndProject over the
+    # node set; the rank window sees only those 20 rows (a global window
+    # gets no WindowGroupLimit prune — it would rank every node in ONE
+    # task at scale).
+    top = ranks.orderBy(F.desc(F.round("r", 6)), "node").limit(20)
     w = Window.orderBy(F.desc(F.round("r", 6)), "node")
-    return (
-        ranks.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("node", F.round("r", 6).alias("rank"), "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "node", F.round("r", 6).alias("rank"), "rk"
     )
 
 

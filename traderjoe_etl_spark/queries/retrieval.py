@@ -208,11 +208,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("s"))
     )
+    # limit-then-rank: TakeOrderedAndProject cut (per-partition k-heaps),
+    # rank window over the already-limited 20 rows — a global window gets
+    # no WindowGroupLimit prune and would rank every scored doc in ONE
+    # task at scale.
+    top = scored.orderBy(F.desc("s"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("s"), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", F.round("s", 6).alias("score"), "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", F.round("s", 6).alias("score"), "rk"
     )
 
 
