@@ -538,7 +538,17 @@ def bpe_apply_merge(s, a, b):
     symbol at each pick and dropping its consumed right neighbor. Output
     ≤ |s| elements, so the flatten anti-pattern bound doesn't apply.
     Words shorter than 2 symbols pass through unchanged (sequence() would
-    otherwise count DOWN from 0 to -1)."""
+    otherwise count DOWN from 0 to -1).
+
+    Expression-cost discipline (learned at sf100, see NOTES): the fold
+    result is LET-bound via the 1-element transform trick (the pyrepr
+    pattern) before the rebuild references it — HOF lambdas are not
+    CSE'd, so the naive form re-evaluates the whole O(n²) fold at every
+    one of the 2n rebuild accesses. The CALLER must also break lineage
+    between successive merges (localCheckpoint per round): composed
+    lazily, round k re-inlines round k−1's fold at every element access
+    and the cost explodes as (n²)^k — the sf100 audit sat 18 minutes in
+    one task evaluating the round-3 expression before this rule."""
     n = F.size(s)
     one = F.lit(1)
 
@@ -557,20 +567,24 @@ def bpe_apply_merge(s, a, b):
         ),
         lambda st: st["acc"],
     )
-    merged = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - one),
-            lambda i: F.when(
-                F.coalesce(F.get(sel, i - one), F.lit(False)),
-                F.array().cast("array<string>"),
+
+    def rebuild(selb):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - one),
+                lambda i: F.when(
+                    F.coalesce(F.get(selb, i - one), F.lit(False)),
+                    F.array().cast("array<string>"),
+                )
+                .when(
+                    F.coalesce(F.get(selb, i), F.lit(False)),
+                    F.array(F.concat(F.get(s, i), F.get(s, i + one))),
+                )
+                .otherwise(F.array(F.get(s, i))),
             )
-            .when(
-                F.coalesce(F.get(sel, i), F.lit(False)),
-                F.array(F.concat(F.get(s, i), F.get(s, i + one))),
-            )
-            .otherwise(F.array(F.get(s, i))),
         )
-    )
+
+    merged = F.get(F.transform(F.array(sel), rebuild), 0)
     return F.when(n >= 2, merged).otherwise(s)
 
 
@@ -633,8 +647,12 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale argument is the classic BPE-trainer design: ONE corpus pass
     builds the word-frequency vocabulary (partial-aggregated groupBy),
     which is localCheckpoint-materialized (the pagerank static-relation
-    rule — otherwise every merge round re-derives the corpus explode);
-    every subsequent round touches only the vocab-sized relation. Merge
+    rule — otherwise every merge round re-derives the corpus explode),
+    REPARTITIONED first so AQE's tiny-aggregate coalescing can't
+    serialize the fold passes onto one task, and re-checkpointed after
+    every merge round (lazy composition re-inlines the previous round's
+    fold at each element access — (n²)^k blowup, see bpe_apply_merge);
+    every round touches only the vocab-sized relation. Merge
     application is a map-only HOF pass per word: greedy-leftmost
     selection is the sequential recurrence sel[i] = match[i] ∧ ¬sel[i−1]
     — an F.aggregate fold over the (short) symbol array — then a
@@ -646,12 +664,18 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks). Pair counts are integers, so the argmax is engine-exact: no
     float discipline needed anywhere."""
     docs = _t(spark, sf_dir, "documents")
+    # repartition before the checkpoint: AQE coalesces the tiny vocab
+    # aggregate to ~1 post-shuffle partition, which would serialize every
+    # later fold pass onto one task (observed at sf100: 30k words in one
+    # partition); the checkpoint pins the wider partitioning for all
+    # rounds.
     vocab = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select("wc", F.split("w", "").alias("s"))
+        .repartition(32)
         .localCheckpoint(eager=True)
     )
     merges = []
@@ -684,9 +708,12 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a, b, cnt = best["a"], best["b"], -best["nc"]
         merges.append((len(merges) + 1, a, b, int(cnt)))
+        # checkpoint per round: composed lazily, round k would re-inline
+        # round k-1's fold at every element access — (n²)^k expression
+        # blowup (the sf100 18-minute single task; see bpe_apply_merge)
         vocab = vocab.select(
             "wc", bpe_apply_merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
-        )
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_n long"
     )
