@@ -44,6 +44,8 @@ CASES = [
     "bpe_merge_training",            # integer pair-count argmax per round (r4)
     "markov_transitions",            # unique (ts, event_id) sequence tie-break (r4)
     "funnel_progression",            # ordered-stage min-ts joins (r4)
+    "ewma_last_value",               # per-user bounded-window fold, rounded (r4)
+    "ab_test_zscore",                # conditional aggs + rounded statistics (r4)
 ]
 
 

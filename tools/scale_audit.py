@@ -71,7 +71,32 @@ def main() -> None:
                     spark.stop()
                 except Exception:
                     pass
-                spark = get_spark("scale-audit")
+                try:
+                    spark = get_spark("scale-audit")
+                except Exception:
+                    # the JVM PROCESS died (heap OOM kills local-mode
+                    # outright): the py4j gateway is gone and getOrCreate
+                    # just ECONNREFUSEDs against it. Reset the process-
+                    # level gateway singletons so a brand-new JVM launches.
+                    print("    gateway dead — launching a fresh JVM",
+                          file=_sys.stderr, flush=True)
+                    from pyspark import SparkContext
+                    from pyspark.sql import SparkSession
+
+                    try:
+                        if SparkContext._gateway is not None:
+                            SparkContext._gateway.shutdown()
+                    except Exception:
+                        pass
+                    SparkContext._gateway = None
+                    SparkContext._jvm = None
+                    with SparkContext._lock:
+                        SparkContext._active_spark_context = None
+                    SparkSession._instantiatedSession = None
+                    SparkSession._activeSession = None
+                    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+                    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+                    spark = get_spark("scale-audit")
                 spark.sparkContext.setLogLevel("ERROR")
 
     ordered = dict(sorted(times.items(), key=lambda kv: -kv[1]))

@@ -144,6 +144,126 @@ def funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ab_test_zscore",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS na,
+           CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS nb,
+           round(avg(value) FILTER (user_id % 2 = 0), 6) AS mean_a,
+           round(avg(value) FILTER (user_id % 2 = 1), 6) AS mean_b,
+           round((avg(value) FILTER (user_id % 2 = 0)
+                  - avg(value) FILTER (user_id % 2 = 1))
+                 / sqrt(var_samp(value) FILTER (user_id % 2 = 0)
+                            / (count(*) FILTER (user_id % 2 = 0))
+                        + var_samp(value) FILTER (user_id % 2 = 1)
+                            / (count(*) FILTER (user_id % 2 = 1))), 6) AS z
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout: per event type, the Welch
+    z-statistic between variant A (even user_id — the deterministic
+    hash-assignment stand-in) and variant B on the event value:
+    z = (x̄_A − x̄_B) / √(s²_A/n_A + s²_B/n_B). The A/B analysis every
+    event platform runs; one partial-aggregated pass, conditional
+    aggregates splitting the variants (no self-join, no pivot shuffle).
+
+    Cross-engine note: var_samp accumulates differently across engines
+    (Welford vs naive partials) — ulp-level drift only, absorbed by the
+    6-dp rounding on every emitted statistic (the repo-wide accepted
+    class); counts are exact."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
+    va = F.when(a, F.col("value"))
+    vb = F.when(b, F.col("value"))
+    na, nb = F.count(va), F.count(vb)
+    z = (F.avg(va) - F.avg(vb)) / F.sqrt(
+        F.var_samp(va) / na + F.var_samp(vb) / nb
+    )
+    return ev.groupBy("event_type").agg(
+        na.cast("long").alias("na"),
+        nb.cast("long").alias("nb"),
+        F.round(F.avg(va), 6).alias("mean_a"),
+        F.round(F.avg(vb), 6).alias("mean_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_H = 32  # bounded horizon: weights below (1-α)^32 ≈ 8e-4 are cut
+
+
+@query(
+    "ewma_last_value",
+    oracle=f"""
+    WITH recent AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    arrs AS (
+        SELECT user_id, list(value ORDER BY rn DESC) AS v
+        FROM recent WHERE rn <= {_EWMA_H} GROUP BY 1
+    )
+    SELECT user_id,
+           round(
+               list_sum(list_transform(range(1, len(v) + 1),
+                        j -> v[j] * pow({1 - _EWMA_ALPHA}, len(v) - j)))
+               / list_sum(list_transform(range(1, len(v) + 1),
+                          j -> pow({1 - _EWMA_ALPHA}, len(v) - j))), 6) AS ewma
+    FROM arrs
+    """,
+)
+def ewma_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon exponentially-weighted moving average of each
+    user's event value at their latest event (α=0.2, horizon 32): the
+    classic streaming smoother, in the normalized finite form
+    Σ wⱼxⱼ / Σ wⱼ with wⱼ = (1−α)^(n−1−j). The horizon bound is what
+    makes it scale-safe: the textbook recursive form y_t = αx_t +
+    (1−α)y_{t−1} is inherently sequential per key, and its closed-form
+    rewrite (cumsum of x/(1−α)^j) overflows double past ~7k events —
+    truncating at 32 terms (weights < 8e-4) keeps the state per user at
+    a fixed 32 values with no numeric cliff.
+
+    Plan shape: the per-user last-32 cut is a DESC rank window that gets
+    the map-side WindowGroupLimit prune (partitioned windows do — global
+    ones don't, see test_global_topk_is_limit_then_rank), so each task
+    forwards ≤32 rows per user; the fold then runs over a bounded array
+    per user, map-only after one user-keyed shuffle. pow()'s cross-libm
+    1-ulp wobble sits inside a 6-dp-rounded normalized sum (the accepted
+    class); the (ts DESC, event_id DESC) rank makes the selected window
+    and its order engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.select("user_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _EWMA_H)
+    )
+    arrs = recent.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("value").alias("x")))),
+            lambda s: s["x"],
+        ).alias("vdesc")
+    ).select("user_id", F.reverse("vdesc").alias("v"))
+    n = F.size("v")
+    decay = F.lit(1.0 - _EWMA_ALPHA)
+    num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, j: acc + F.get(F.col("v"), j - 1) * F.pow(decay, (n - j).cast("double")),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, j: acc + F.pow(decay, (n - j).cast("double")),
+    )
+    return arrs.select("user_id", F.round(num / den, 6).alias("ewma"))
+
+
+@query(
     "retention_cohorts",
     oracle="""
     WITH first AS (
