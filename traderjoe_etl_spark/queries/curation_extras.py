@@ -101,8 +101,21 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         ).select("doc_id", "b.w1", "b.w2")
 
-    c2 = bigrams(toks).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bigrams(toks).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c2 is consumed twice (c1 derivation + the scoring join) and Spark
+    # does NOT reuse the aggregate exchange across the two consumers
+    # (measured — the same break as tfidf's two-branch form), so the
+    # BIGRAM-VOCAB-sized stats are localCheckpoint-materialized: that is
+    # the small-relation case where a checkpoint is right, unlike the
+    # corpus-scale tf persist the tfidf rule rejects.
+    c2 = (
+        bigrams(toks)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    # c1 derives FROM the bigram stats (c1(w1) = Σ_w2 c2(w1,w2)) — a
+    # vocab-sized aggregate instead of a third corpus explode pass
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("vsz"))
     lp = F.log((F.col("c2") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("vsz")))
     s = (
