@@ -46,6 +46,7 @@ CASES = [
     "funnel_progression",            # ordered-stage min-ts joins (r4)
     "ewma_last_value",               # per-user bounded-window fold, rounded (r4)
     "ab_test_zscore",                # conditional aggs + rounded statistics (r4)
+    "multimodal_real_codecs",        # real PPM/WAV decode, int-exact features (r4)
 ]
 
 
