@@ -47,6 +47,7 @@ CASES = [
     "ewma_last_value",               # per-user bounded-window fold, rounded (r4)
     "ab_test_zscore",                # conditional aggs + rounded statistics (r4)
     "multimodal_real_codecs",        # real PPM/WAV decode, int-exact features (r4)
+    "bpe_encode_corpus",             # trained map join-back, integer counts (r4)
 ]
 
 

@@ -23,6 +23,7 @@ Three more shapes a training-data platform runs:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -145,15 +146,17 @@ _DSIR_BUCKETS = 256  # 2 hex chars of md5 → smoothing denominator 0.5·256
 @query(
     "dsir_importance_resample",
     oracle=f"""
-    WITH inst AS (
-        SELECT doc_id, source IN {str(tuple(_DSIR_TGT))} AS tgt,
-               substr(md5('dsir:' || w), 1, 2) AS b
-        FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS w FROM documents)
-        WHERE w <> ''
+    WITH per AS (
+        SELECT doc_id, tgt, b, count(*) AS n
+        FROM (SELECT doc_id, source IN {str(tuple(_DSIR_TGT))} AS tgt,
+                     substr(md5('dsir:' || w), 1, 2) AS b
+              FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS w FROM documents)
+              WHERE w <> '')
+        GROUP BY 1, 2, 3
     ),
     stats AS (
-        SELECT b, count(*) AS rc, count(*) FILTER (tgt) AS tc
-        FROM inst GROUP BY 1
+        SELECT b, sum(n) AS rc, sum(CASE WHEN tgt THEN n ELSE 0 END) AS tc
+        FROM per GROUP BY 1
     ),
     tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM stats),
     bs AS (
@@ -161,7 +164,10 @@ _DSIR_BUCKETS = 256  # 2 hex chars of md5 → smoothing denominator 0.5·256
                 - ln((rc + 0.5) / (rt + {_DSIR_BUCKETS // 2}.0)) AS lw
         FROM stats CROSS JOIN tot
     ),
-    wdoc AS (SELECT doc_id, avg(lw) AS wt FROM inst JOIN bs USING (b) GROUP BY 1)
+    wdoc AS (
+        SELECT doc_id, sum(n * lw) / sum(n) AS wt
+        FROM per JOIN bs USING (b) GROUP BY 1
+    )
     SELECT doc_id, round(wt, 6) AS dsir_weight, rk
     FROM (SELECT *, row_number() OVER (ORDER BY round(wt, 6) DESC, doc_id) AS rk
           FROM wdoc)
@@ -179,30 +185,44 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mean, not sum, so length doesn't masquerade as domain affinity).
     Returns the 25 highest-weight documents — the resampled set.
 
-    Plan shape: two embarrassingly-parallel explode passes over the
-    corpus (the tfidf rule: a second scan beats a corpus-scale persist),
-    the first partial-aggregating 256 bucket rows with a count+count_if
-    pair, the second joining instances against the BROADCAST 256-row
-    log-ratio table and partial-aggregating per-doc means. No windows, no
-    skew (bucket stats are an aggregate, not a partition). Ranking is on
-    the 6-dp-rounded weight with doc_id tie-break (ln's 1-ulp cross-libm
-    wobble cannot reorder a rounded key)."""
+    Plan shape (single corpus pass): ONE explode+hash pass partial-
+    aggregates to the (doc_id, bucket) count relation — 10-100× smaller
+    than the token-instance stream (256-bucket ceiling per doc vs
+    thousands of tokens) — which is localCheckpoint-materialized and
+    consumed twice: bucket stats are a 256-row roll-up of it, and
+    per-doc weights are the count-weighted mean Σ n_b·lw_b / Σ n_b
+    against the BROADCAST log-ratio table. The checkpoint is the
+    SMALL-relation case (the bigram-c2 rule) — the original two-pass
+    form re-exploded and re-md5'd the whole corpus for scoring (540M
+    hashes at sf100 = 57 s; single-pass 35 s). The weighted-mean form
+    is expression-identical in the oracle, so grouped float order
+    matches. No windows, no skew; ranking is on the 6-dp-rounded weight
+    with doc_id tie-break (ln's 1-ulp cross-libm wobble cannot reorder
+    a rounded key)."""
     docs = _t(spark, sf_dir, "documents")
-    inst = (
+    per = (
         docs.select(
             "doc_id",
             F.col("source").isin(*_DSIR_TGT).alias("tgt"),
             F.explode(tokens("text")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .select(
+        .groupBy(
             "doc_id",
             "tgt",
             F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 2).alias("b"),
         )
+        # DISK_ONLY: this checkpoint is |docs|×|buckets-per-doc| rows
+        # (145M at sf100) — the default MEMORY_AND_DISK holds
+        # DESERIALIZED rows on-heap and GC-killed the context (the
+        # pagerank-edges lesson); it is read twice sequentially, so heap
+        # caching buys nothing a local disk read doesn't.
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    stats = inst.groupBy("b").agg(
-        F.count(F.lit(1)).alias("rc"), F.count_if(F.col("tgt")).alias("tc")
+    stats = per.groupBy("b").agg(
+        F.sum("n").alias("rc"),
+        F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(F.lit(0))).alias("tc"),
     )
     tot = stats.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     sm = F.lit(_DSIR_BUCKETS / 2.0)
@@ -210,8 +230,10 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rc") + F.lit(0.5)) / (F.col("rt") + sm)
     )
     bs = stats.crossJoin(F.broadcast(tot)).select("b", lw.alias("lw"))
-    wdoc = inst.join(F.broadcast(bs), "b").groupBy("doc_id").agg(
-        F.avg("lw").alias("wt")
+    wdoc = (
+        per.join(F.broadcast(bs), "b")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("n") * F.col("lw")) / F.sum("n")).alias("wt"))
     )
     # limit-then-rank (the vocab_top_terms pattern): the global cut is a
     # TakeOrderedAndProject (per-partition k-heaps), and the rank window
@@ -588,7 +610,9 @@ def bpe_apply_merge(s, a, b):
     return F.when(n >= 2, merged).otherwise(s)
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_chain() -> str:
+    """The shared WITH-body replaying vocab build + all merge rounds;
+    tails differ per query (merge table vs corpus re-encoding)."""
     head = f"""
     WITH v AS (
         SELECT w AS word, count(*) AS wc
@@ -628,11 +652,15 @@ def _bpe_oracle() -> str:
               FROM sel{r})
         GROUP BY 1, 2
     )""")
+    return head + "," + ",".join(parts)
+
+
+def _bpe_oracle() -> str:
     tail = "\n    UNION ALL ".join(
         f"SELECT {r + 1} AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_n FROM m{r}"
         for r in range(_BPE_ROUNDS)
     )
-    return head + "," + ",".join(parts) + "\n    " + tail
+    return _bpe_cte_chain() + "\n    " + tail
 
 
 @query("bpe_merge_training", oracle=_bpe_oracle())
@@ -663,6 +691,17 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions in each run of consecutive matches are exactly the fold's
     picks). Pair counts are integers, so the argmax is engine-exact: no
     float discipline needed anywhere."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_n long"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (merge table rows, final vocab DF
+    (w, wc, s) with all merges applied). See bpe_merge_training for the
+    scale shape; bpe_encode_corpus reuses the final vocab as the
+    word → subword-segmentation map."""
     docs = _t(spark, sf_dir, "documents")
     # repartition before the checkpoint: AQE coalesces the tiny vocab
     # aggregate to ~1 post-shuffle partition, which would serialize every
@@ -674,7 +713,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .select("wc", F.split("w", "").alias("s"))
+        .select("w", "wc", F.split("w", "").alias("s"))
         .repartition(32)
         .localCheckpoint(eager=True)
     )
@@ -712,8 +751,51 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round k-1's fold at every element access — (n²)^k expression
         # blowup (the sf100 18-minute single task; see bpe_apply_merge)
         vocab = vocab.select(
-            "wc", bpe_apply_merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
+            "w", "wc", bpe_apply_merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_n long"
+    return merges, vocab
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_cte_chain()
+    + f""",
+    words AS (
+        SELECT doc_id, w AS word
+        FROM (SELECT doc_id, unnest({_TOK_SQL}) AS w FROM documents)
+        WHERE w <> ''
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(s.s)) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN s{_BPE_ROUNDS} s USING (word)
+    GROUP BY 1
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — train AND
+    tokenize in the engine: per document, the whitespace word count and
+    the subword token count under the 3-merge model (the number a
+    sequence-packing/budgeting pipeline actually needs). The tokenizer
+    is the word → symbol-segmentation MAP (the trained vocab relation),
+    so corpus encoding is one exploded equi-join against a vocab-sized
+    relation plus a per-doc partial-aggregated sum — the corpus never
+    runs the merge fold itself (per-word work happens once in the
+    vocab, the classic trainer/encoder split; Spark picks broadcast vs
+    shuffle for the join by vocab size). Counts are integers — the
+    oracle (the full training CTE chain + the same join) is
+    engine-exact with no float discipline."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    wordmap = vocab.select(F.col("w").alias("word"), F.size("s").alias("n_sub"))
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(wordmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
     )
