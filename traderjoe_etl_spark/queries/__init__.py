@@ -55,6 +55,7 @@ def load_all() -> None:
         data_governance,
         final_coverage,
         llm_ops,
+        market_ops,
         pipeline_queries,
         reference_semantics,
         relational,

@@ -1,0 +1,416 @@
+"""Market/trading analytics over the events stream (round 4, session 3):
+OHLC bar resampling, VWAP, realized volatility, drawdown, RFM scoring,
+winsorized robust stats.
+
+The reference engine is a DEX-analytics pipeline (reference main.py's pool
+snapshots / fee aggregation); this module adds the time-series readouts a
+trading platform derives from the same event firehose. All six are pure
+DataFrame composition with full SQL oracles. Determinism discipline:
+every sequence is ordered by the unique (ts, event_id) tie-break, every
+float aggregate is rounded on both sides, and every window partition is
+bounded (per-hour/per-day/per-user — never a corpus-wide partition), so
+the shapes survive a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "ohlc_hourly_bars",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value,
+               first_value(value) OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+               last_value(value) OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        FROM events
+    )
+    SELECT event_type, strftime(bar, '{_TS_FMT_DUCK}') AS bar_ts,
+           round(max(o), 2) AS open, round(max(value), 2) AS high,
+           round(min(value), 2) AS low, round(max(c), 2) AS close,
+           round(sum(value), 4) AS volume,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM b GROUP BY event_type, bar
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick resampling: per (instrument, hour) open/high/low/close
+    + volume, the standard downsample every market pipeline runs first
+    (reference main.py keeps hourly pool snapshots — this is the generic
+    bar form). Open/close are first/last `value` by the unique
+    (ts, event_id) order, so the result set is engine- and
+    partitioning-exact.
+
+    Plan shape: one window pass whose partitions are (instrument, hour) —
+    bounded by an hour's trade count, never corpus-wide — then a map-side
+    combinable group-agg on the same keys (the window's hash partitioning
+    is reused by the agg: one shuffle total). At 100 TB this is the
+    canonical "resample a firehose" plan: linear scan, one bounded-key
+    shuffle, output |instruments|x|hours| rows."""
+    ev = _t(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    w = (
+        Window.partitionBy("event_type", "bar")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    framed = ev.withColumn("bar", bar).select(
+        "event_type",
+        "bar",
+        "value",
+        F.first("value").over(w).alias("o"),
+        F.last("value").over(w).alias("c"),
+    )
+    return framed.groupBy("event_type", "bar").agg(
+        F.round(F.max("o"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max("c"), 2).alias("close"),
+        F.round(F.sum("value"), 4).alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+    ).select(
+        "event_type",
+        F.date_format("bar", _TS_FMT_SPARK).alias("bar_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "n_trades",
+    )
+
+
+@query(
+    "vwap_hourly",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+    )
+    SELECT event_type, strftime(bar, '{_TS_FMT_DUCK}') AS bar_ts,
+           CAST((sum(cents * qty) * 1000000) // (100 * sum(qty)) AS BIGINT) AS vwap_micro,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM t GROUP BY event_type, bar
+    """,
+)
+def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (instrument, hour): price =
+    `value`, size = the `props.$.k` JSON field — VWAP is the sum-ratio
+    aggregate every execution-quality report starts from. Zero/NULL-size
+    records are dropped up front (a zero-quantity fill contributes
+    nothing to a volume-weighted price, and an all-zero bar would be a
+    0/0 division).
+
+    Integer-exact discipline: price → cents (2-dp inputs, so
+    round(value*100) is the exact integer), VWAP emitted in integer
+    MICRO-price units via int64 division — `(Σ cents·qty × 1e6) div
+    (100 Σ qty)`. A double sum-ratio landed exactly on a 6-dp rounding
+    boundary (50.9728125) where the engines' last-ulp summation order
+    disagreed; the all-integer form is bit-identical on any engine and
+    any partitioning. Headroom: Σ cents·qty ≲ 1e9 per bar × 1e6 ≪ 2^63.
+
+    Plan shape: JSON size extraction is a map-side scalar, then ONE
+    map-side-combinable groupBy — two partial sums and a count per
+    (instrument, hour) key, no window, no join. The ratio happens on the
+    combined partials, so at 100 TB each executor ships exactly
+    |local bars| rows of partial state."""
+    ev = _t(spark, sf_dir, "events")
+    qty = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bar"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            qty.alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+        .groupBy("event_type", "bar")
+        .agg(
+            F.expr("CAST((sum(cents * qty) * 1000000L) div (100L * sum(qty)) AS BIGINT)").alias(
+                "vwap_micro"
+            ),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", _TS_FMT_SPARK).alias("bar_ts"),
+            "vwap_micro",
+            "total_qty",
+            "n_trades",
+        )
+    )
+
+
+@query(
+    "realized_volatility_daily",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               ln(value / lag(value) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id)) AS lr
+        FROM events
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           round(sqrt(sum(lr * lr)), 6) AS realized_vol,
+           CAST(count(lr) AS BIGINT) AS n_returns
+    FROM r GROUP BY event_type, d
+    HAVING count(lr) > 0
+    """,
+)
+def realized_volatility_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility per instrument: sqrt of the sum of
+    squared log returns within the day (returns chained over the unique
+    (ts, event_id) order; the day's first trade has no return).
+
+    Plan shape: lag() over (instrument, day) partitions — bounded by one
+    day's trades per instrument, the same bounded-partition discipline as
+    sessionization — then a map-side-combinable sum of squares on the
+    SAME keys (Catalyst reuses the window's hash partitioning: one
+    shuffle total). Float discipline: summands are bounded (|ln ratio|²
+    over a bounded price range), so cross-engine partial-sum reorder
+    drifts ~1e-12 relative — far inside the 6 dp rounding."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    r = ev.withColumn("d", day).select(
+        "event_type",
+        "d",
+        F.log(F.col("value") / F.lag("value").over(w)).alias("lr"),
+    )
+    return (
+        r.groupBy("event_type", "d")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("lr") * F.col("lr"))), 6).alias("realized_vol"),
+            F.count("lr").cast("long").alias("n_returns"),
+        )
+        .filter(F.col("n_returns") > 0)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "realized_vol",
+            "n_returns",
+        )
+    )
+
+
+@query(
+    "max_drawdown_users",
+    oracle="""
+    WITH eq AS (
+        SELECT user_id, ts, event_id,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+        FROM events WHERE event_type = 'purchase'
+    ),
+    dd AS (
+        SELECT user_id,
+               max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - equity AS drawdown
+        FROM eq
+    )
+    SELECT user_id, round(max(drawdown), 6) AS max_drawdown,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dd GROUP BY user_id
+    ORDER BY max_drawdown DESC, user_id LIMIT 20
+    """,
+)
+def max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown over the purchase stream: equity =
+    running sum of purchase values by (ts, event_id); peak = running max
+    of equity; drawdown = peak − equity; report each user's worst
+    drawdown, top-20 by (drawdown DESC, user_id).
+
+    Plan shape: two stacked windows on the SAME per-user partitioning
+    (one shuffle; partitions bounded by a user's trade count), one
+    map-combinable group-max, then TakeOrderedAndProject for the global
+    top-20 (no full sort). Running float sums evaluate in the identical
+    (ts, event_id) sequence on both engines, so the prefix values agree
+    to the last ulp and the 6 dp rounding is safe."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = ev.select(
+        "user_id",
+        F.sum("value").over(wseq).alias("equity"),
+        "ts",
+        "event_id",
+    )
+    dd = eq.select(
+        "user_id",
+        (F.max("equity").over(wseq) - F.col("equity")).alias("drawdown"),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("max_drawdown").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "rfm_scores",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               date_diff('day', max(ts), (SELECT max(ts) FROM events)) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(value), 4) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    th AS (
+        SELECT quantile_cont(frequency, 0.5) AS f_med,
+               quantile_cont(monetary, 0.5) AS m_med,
+               quantile_cont(recency_days, 0.5) AS r_med
+        FROM base
+    )
+    SELECT b.user_id, CAST(b.recency_days AS BIGINT) AS recency_days,
+           b.frequency, b.monetary,
+           CAST(CASE WHEN b.recency_days <= th.r_med THEN 2 ELSE 1 END AS INT) AS r_score,
+           CAST(CASE WHEN b.frequency > th.f_med THEN 2 ELSE 1 END AS INT) AS f_score,
+           CAST(CASE WHEN b.monetary > th.m_med THEN 2 ELSE 1 END AS INT) AS m_score
+    FROM base b CROSS JOIN th
+    """,
+)
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring over
+    purchase events: per-user recency in days vs the corpus max
+    timestamp, purchase count, and rounded spend, each cut at the
+    population median into a 1/2 score (median splits rather than global
+    ntile — see plan note).
+
+    Plan shape: one map-side-combinable per-user aggregate (the only
+    corpus-scale shuffle), then medians via ONE single-row aggregate over
+    the per-user relation — broadcast back as a 1-row cross join.
+    Deliberately NOT `ntile() OVER ()`: a global ntile ranks the whole
+    user relation through one task (the WindowGroupLimit pitfall pinned
+    in tests/test_plan_shapes.py); threshold-vs-broadcast-scalar
+    comparisons are map-only and scale to any user count. Boundary
+    discipline: frequency/recency are integers and monetary is rounded
+    to 4 dp BEFORE the median, so threshold comparisons are exact on
+    both engines (quantile_cont == Spark percentile: both linear
+    interpolation at (n-1)p)."""
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    max_ts = pur.agg(F.max("ts").alias("gmax"))
+    base = (
+        pur.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("umax"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+        .join(F.broadcast(max_ts))
+        .select(
+            "user_id",
+            F.datediff(F.col("gmax"), F.col("umax")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    th = base.agg(
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+    )
+    return base.join(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= F.col("r_med"), 2).otherwise(1).cast("int").alias("r_score"),
+        F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).cast("int").alias("f_score"),
+        F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1).cast("int").alias("m_score"),
+    )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(th.lo, 6) AS p05, round(th.hi, 6) AS p95,
+           round(avg(CASE WHEN e.value < th.lo THEN th.lo
+                          WHEN e.value > th.hi THEN th.hi ELSE e.value END), 6) AS wins_mean,
+           round(stddev_samp(CASE WHEN e.value < th.lo THEN th.lo
+                                  WHEN e.value > th.hi THEN th.hi ELSE e.value END), 6) AS wins_std,
+           CAST(sum(CASE WHEN e.value < th.lo OR e.value > th.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped
+    FROM events e JOIN th USING (event_type)
+    GROUP BY e.event_type, th.lo, th.hi
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per instrument: clamp `value` into
+    its [p05, p95] band, then mean / sample-std of the clamped series
+    plus the clamp count — the outlier-robust feature-scaling pass a
+    training pipeline runs before normalizing numeric columns.
+
+    Plan shape: thresholds come from ONE per-type exact-percentile
+    aggregate (|types| rows) broadcast back onto the scan; the clamped
+    mean/std is a second map-side-combinable aggregate. Two linear scans,
+    no window, no corpus-scale shuffle (the groupBy keys are
+    |types|-sized). Exact percentile at 100 TB: Spark's `percentile`
+    aggregates a per-type value multiset — for a true firehose you'd
+    swap `percentile_approx`; the exact form is kept here because the
+    oracle (quantile_cont) must match to the interpolation."""
+    ev = _t(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.95D)").alias("hi"),
+    )
+    j = ev.join(F.broadcast(th), "event_type")
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.round(F.avg(clamped), 6).alias("wins_mean"),
+        F.round(F.stddev_samp(clamped), 6).alias("wins_std"),
+        F.sum(out_of_band.cast("int")).cast("long").alias("n_clamped"),
+    ).select(
+        "event_type",
+        F.round("lo", 6).alias("p05"),
+        F.round("hi", 6).alias("p95"),
+        "wins_mean",
+        "wins_std",
+        "n_clamped",
+    )
