@@ -54,6 +54,7 @@ def load_all() -> None:
         curation_extras,
         data_governance,
         final_coverage,
+        graph_ops,
         llm_ops,
         market_ops,
         pipeline_queries,
