@@ -799,3 +799,179 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").alias("n_bpe_tokens"),
         )
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = _KM_DIM // _PQ_M  # dims per subspace (16)
+_PQ_K = 16  # codewords per subspace → 4×4-bit codes/vector
+
+
+def _pq_dist_sql(vec: str, cent: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+        f"j -> ({vec}[j] - {cent}[j]) * ({vec}[j] - {cent}[j]))), 6)"
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sub AS (
+        SELECT vec_id, CAST(t.s AS INT) AS s,
+               v[(t.s*{_PQ_SUB}+1):(t.s*{_PQ_SUB}+{_PQ_SUB})] AS sv
+        FROM e, unnest([{", ".join(str(s) for s in range(_PQ_M))}]) AS t(s)
+    ),
+    init AS (
+        SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS cid,
+               sv AS c
+        FROM sub
+        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    d1 AS (
+        SELECT sub.vec_id, sub.s, sub.sv, i.cid, {_pq_dist_sql("sub.sv", "i.c")} AS d
+        FROM sub JOIN init i ON i.s = sub.s
+    ),
+    a1 AS (
+        SELECT vec_id, s, sv, cid
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+              FROM d1)
+        WHERE rn = 1
+    ),
+    cm AS (
+        SELECT s, cid, pos, round(avg(val), 6) AS cv
+        FROM (SELECT s, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS pos FROM a1)
+        GROUP BY 1, 2, 3
+    ),
+    ip AS (
+        SELECT s, cid, pos, round(val, 6) AS seedv
+        FROM (SELECT s, cid, unnest(c) AS val, generate_subscripts(c, 1) AS pos FROM init)
+    ),
+    cb AS (
+        SELECT ip.s, ip.cid, list(coalesce(cm.cv, ip.seedv) ORDER BY ip.pos) AS c
+        FROM ip LEFT JOIN cm ON cm.s = ip.s AND cm.cid = ip.cid AND cm.pos = ip.pos
+        GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT sub.vec_id, sub.s, cb.cid, {_pq_dist_sql("sub.sv", "cb.c")} AS d
+        FROM sub JOIN cb ON cb.s = sub.s
+    ),
+    enc AS (
+        SELECT vec_id, s, cid
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+              FROM d2)
+        WHERE rn = 1
+    ),
+    q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+    dt AS (
+        SELECT cb.s, cb.cid, {_pq_dist_sql("q.qv", "cb.c")} AS dq
+        FROM cb JOIN q ON q.s = cb.s
+    ),
+    adc AS (
+        SELECT enc.vec_id, round(sum(dt.dq), 6) AS adc_dist
+        FROM enc JOIN dt ON dt.s = enc.s AND dt.cid = enc.cid
+        GROUP BY 1
+    ),
+    qf AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    ex AS (
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                     j -> (e.v[j] - qf.qv[j]) * (e.v[j] - qf.qv[j]))), 6) AS exact_dist
+        FROM e CROSS JOIN qf
+    )
+    SELECT vec_id, adc_dist, exact_dist, rk
+    FROM (SELECT adc.vec_id, adc.adc_dist, ex.exact_dist,
+                 row_number() OVER (ORDER BY adc.adc_dist, adc.vec_id) AS rk
+          FROM adc JOIN ex USING (vec_id))
+    WHERE rk <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ scale path's compression
+    half, Jégou et al. 2011): split the 64-dim embedding into 4 × 16-dim
+    subspaces, train a 16-codeword codebook per subspace (one Lloyd
+    update from the deterministic lowest-vec_id seeds, centroids rounded
+    6 dp — the kmeans_cluster_stats discipline), encode every vector as
+    four 4-bit codes, then answer
+    a query via ASYMMETRIC DISTANCE COMPUTATION: one k×m distance table
+    against the query, summed by code lookup — no full vector ever read
+    at search time. Returns the ADC top-10 with the exact squared-L2
+    alongside (the approximation-quality readout).
+
+    Why this is the 100-TB ANN shape: the stored corpus shrinks
+    64×float32 → 4 bytes/vector (64:1), and search is a map-only
+    broadcast-join of a kilobyte-sized distance table against the code
+    relation plus one TakeOrderedAndProject — zero corpus-scale shuffle,
+    zero vector reads. Training is per-subspace kmeans: assignment via
+    the vectorized l2_assign_arrow kernel (argmin over ROUNDED distance,
+    lowest-cid tie-break — the cross-engine-replayable contract),
+    centroid update is one 16-group aggregate; codebooks live on the
+    driver (m·k·subdim = 4 KB) between phases, the kmeans/pca bounded-
+    collect precedent. An empty training cluster keeps its 6-dp-rounded
+    seed (coalesce on both sides). The final ADC sum adds the same four
+    6-dp-rounded doubles on both engines; ranking is limit-then-rank
+    (TakeOrderedAndProject, no global window)."""
+    from ..operators.similarity import l2_assign_arrow
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = emb.orderBy("vec_id").limit(_PQ_K).collect()
+    seed_vecs = [[float(x) for x in r.embedding] for r in seed_rows]
+    qfull = [float(x) for x in seed_rows[0].embedding]  # vec_id 0 = first seed
+
+    code_parts = []
+    dt_rows = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
+        sub = emb.select("vec_id", F.slice("embedding", lo + 1, _PQ_SUB).alias("sv"))
+        seeds = [(i, v[lo:hi]) for i, v in enumerate(seed_vecs)]
+        a1 = l2_assign_arrow(sub, seeds, "sv")
+        upd = a1.groupBy("cluster").agg(
+            *[
+                F.round(F.avg(F.element_at(F.col("sv"), j + 1).cast("double")), 6).alias(
+                    f"c{j}"
+                )
+                for j in range(_PQ_SUB)
+            ]
+        )
+        got = {
+            int(r["cluster"]): [float(r[f"c{j}"]) for j in range(_PQ_SUB)]
+            for r in upd.collect()
+        }
+        # empty cluster → keep its 6-dp-rounded seed (oracle coalesces the same)
+        cb = [
+            (i, got.get(i, [round(x, 6) for x in seeds[i][1]]))
+            for i in range(_PQ_K)
+        ]
+        enc = l2_assign_arrow(sub, cb, "sv").select(
+            "vec_id", F.lit(s).alias("s"), F.col("cluster").alias("cid")
+        )
+        code_parts.append(enc)
+        qsub = qfull[lo:hi]
+        for cid, c in cb:
+            dq = 0.0  # sequential fold = DuckDB list_sum order
+            for j in range(_PQ_SUB):
+                dq += (qsub[j] - c[j]) * (qsub[j] - c[j])
+            dt_rows.append((s, cid, round(dq, 6)))
+
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionAll(p)
+    dt = spark.createDataFrame(dt_rows, "s int, cid int, dq double")
+    adc = (
+        codes.join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
+    )
+    ex = l2_assign_arrow(emb, [(0, qfull)], "embedding").select(
+        "vec_id", F.col("dist").alias("exact_dist")
+    )
+    top = (
+        adc.join(ex, "vec_id")
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+    w = Window.orderBy("adc_dist", "vec_id")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id", "adc_dist", "exact_dist", "rk"
+    )
