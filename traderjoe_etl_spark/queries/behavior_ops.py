@@ -304,3 +304,97 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+_ATTR_WINDOW_S = 7 * 24 * 3600  # 7-day lookback
+_ATTR_CAMPAIGNS = 10
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) % {_ATTR_CAMPAIGNS}
+               END AS camp,
+               CASE WHEN event_type = 'click' THEN ts END AS cts
+        FROM events
+    ),
+    carried AS (
+        SELECT user_id, ts, event_type, cents,
+               last_value(camp IGNORE NULLS) OVER w AS last_camp,
+               last_value(cts IGNORE NULLS) OVER w AS last_cts
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(CASE WHEN last_cts IS NOT NULL
+                      AND date_diff('second', last_cts, ts) <= {_ATTR_WINDOW_S}
+                     THEN last_camp ELSE -1 END AS BIGINT) AS campaign,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: credit each purchase to the
+    user's most recent click within a 7-day lookback (campaign id =
+    the click's props.k mod 10; purchases with no qualifying click fall
+    into the -1 "organic" bucket), then roll credited revenue up per
+    campaign. This is the carry-forward-state sequence shape (distinct
+    from the funnel: attribution needs the LAST prior touch plus a
+    recency bound, not the first).
+
+    Plan shape: ONE per-user window pass using last_value(... IGNORE
+    NULLS) over the strict-past frame (ROWS UNBOUNDED PRECEDING..1
+    PRECEDING) to carry both the campaign and its timestamp — no
+    self-join, no per-purchase point lookup; partitions are bounded by a
+    user's event count. The 7-day test compares whole-second diffs
+    (Spark's long cast and DuckDB's date_diff('second') both floor —
+    integer-exact), revenue is summed in cents (exact int64), so the
+    oracle matches bit-for-bit. After the window, one map-combinable
+    |campaigns|-key aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("event_type") == "click",
+            F.get_json_object("props", "$.k").cast("long") % _ATTR_CAMPAIGNS,
+        ).alias("camp"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("cts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = base.select(
+        "event_type",
+        "ts",
+        "cents",
+        F.last("camp", ignorenulls=True).over(w).alias("last_camp"),
+        F.last("cts", ignorenulls=True).over(w).alias("last_cts"),
+    )
+    in_window = F.col("last_cts").isNotNull() & (
+        (F.col("ts").cast("long") - F.col("last_cts").cast("long")) <= _ATTR_WINDOW_S
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(in_window, F.col("last_camp")).otherwise(-1).cast("long").alias("campaign"),
+            "cents",
+        )
+        .groupBy("campaign")
+        .agg(
+            F.sum("cents").cast("long").alias("attributed_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        )
+    )

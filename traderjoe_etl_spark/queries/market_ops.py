@@ -414,3 +414,178 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wins_std",
         "n_clamped",
     )
+
+
+_BOLL_N = 24  # bars per rolling band window
+_BOLL_SD = 2.0
+
+
+@query(
+    "bollinger_breakouts",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type, bar, max(c) AS close
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS bar,
+                   last_value(value) OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+            FROM events)
+        GROUP BY 1, 2
+    ),
+    roll AS (
+        SELECT event_type, bar, close,
+               round(avg(close) OVER w, 6) AS mid,
+               round(stddev_samp(close) OVER w, 6) AS sd,
+               row_number() OVER (PARTITION BY event_type ORDER BY bar) AS rn
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar
+                     ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(bar, '{_TS_FMT_DUCK}') AS bar_ts,
+           round(close, 2) AS close, mid,
+           round(mid + {_BOLL_SD} * sd, 6) AS upper_band,
+           round(mid - {_BOLL_SD} * sd, 6) AS lower_band,
+           CASE WHEN close > mid + {_BOLL_SD} * sd THEN 'up' ELSE 'down' END AS breakout
+    FROM roll
+    WHERE rn >= {_BOLL_N}
+      AND (close > mid + {_BOLL_SD} * sd OR close < mid - {_BOLL_SD} * sd)
+    """,
+)
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection: hourly closes per instrument,
+    a 24-bar rolling mean ± 2σ band, and the bars whose close escapes
+    the band (only bars with a full 24-bar history qualify).
+
+    Plan shape — the two-level resolution discipline that makes rolling
+    indicators scale: the raw firehose collapses to |instruments|×|hours|
+    bars FIRST (bounded-partition window + map-combinable agg, one
+    corpus-scale shuffle), and every rolling computation runs over the
+    AGGREGATED bar series — a per-instrument partition of ~10⁴ rows/year,
+    trivially one task, no matter how many trades fed it. Breach
+    comparison uses the unrounded band on both sides (identical inputs →
+    identical doubles; the displayed band is rounded separately)."""
+    ev = _t(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("event_type", "bar")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bars = (
+        ev.withColumn("bar", F.date_trunc("hour", F.col("ts")))
+        .select("event_type", "bar", F.last("value").over(wb).alias("c"))
+        .groupBy("event_type", "bar")
+        .agg(F.max("c").alias("close"))
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_BOLL_N - 1), Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type").orderBy("bar")
+    roll = bars.select(
+        "event_type",
+        "bar",
+        "close",
+        F.round(F.avg("close").over(wr), 6).alias("mid"),
+        F.round(F.stddev_samp("close").over(wr), 6).alias("sd"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    upper = F.col("mid") + F.lit(_BOLL_SD) * F.col("sd")
+    lower = F.col("mid") - F.lit(_BOLL_SD) * F.col("sd")
+    return (
+        roll.filter(
+            (F.col("rn") >= _BOLL_N)
+            & ((F.col("close") > upper) | (F.col("close") < lower))
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", _TS_FMT_SPARK).alias("bar_ts"),
+            F.round("close", 2).alias("close"),
+            "mid",
+            F.round(upper, 6).alias("upper_band"),
+            F.round(lower, 6).alias("lower_band"),
+            F.when(F.col("close") > upper, "up").otherwise("down").alias("breakout"),
+        )
+    )
+
+
+@query(
+    "cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               round(sum(value), 4) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    mu AS (SELECT event_type, round(avg(dv), 6) AS m FROM daily GROUP BY 1),
+    cs AS (
+        SELECT daily.event_type, daily.d,
+               sum(daily.dv - mu.m) OVER (PARTITION BY daily.event_type
+                                          ORDER BY daily.d
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum
+        FROM daily JOIN mu USING (event_type)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+           round(abs(cusum), 4) AS max_abs_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(cusum) DESC, d) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n_days
+          FROM cs)
+    WHERE rk = 1
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per instrument: cumulative sum of
+    (daily volume − series mean); the day where |CUSUM| peaks is the
+    classic single-changepoint estimate (Page 1954 / binary-segmentation
+    step one) — the level-shift detector a data-quality pipeline runs on
+    ingest volumes.
+
+    Plan shape: two-level again — corpus collapses to a per-(instrument,
+    day) aggregate (the only big shuffle), the per-instrument mean is a
+    |instruments|-row aggregate joined back broadcast, and the running
+    CUSUM + argmax run over the tiny aggregated series (bounded
+    partitions: |days| rows each). Float discipline: daily sums round to
+    a 4-dp grid and the mean to 6 dp BEFORE differencing, so both
+    engines accumulate the identical doubles in the identical day order —
+    the prefix sums match to the bit, and the argmax day needs no
+    tolerance (ties break to the earliest day)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("d"), "value")
+        .groupBy("event_type", "d")
+        .agg(F.round(F.sum("value"), 4).alias("dv"))
+    )
+    mu = daily.groupBy("event_type").agg(F.round(F.avg("dv"), 6).alias("m"))
+    wseq = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "d",
+        F.sum(F.col("dv") - F.col("m")).over(wseq).alias("cusum"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.abs("cusum").desc(), "d")
+    wcnt = Window.partitionBy("event_type")
+    return (
+        cs.select(
+            "event_type",
+            "d",
+            "cusum",
+            F.row_number().over(wrk).alias("rk"),
+            F.count(F.lit(1)).over(wcnt).alias("n_days"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.round(F.abs("cusum"), 4).alias("max_abs_cusum"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )

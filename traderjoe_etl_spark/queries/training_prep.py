@@ -173,3 +173,127 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "word").limit(VOCAB_K)
     w = Window.orderBy(F.col("n").desc(), "word")
     return top.select("word", "n", F.row_number().over(w).cast("int").alias("rank"))
+
+
+_FH_BUCKET_HEX = 2  # 2 hex chars → 256 hashing-trick buckets (string keys)
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    hashed AS (
+        SELECT doc_id,
+               substr(md5(w), 1, {_FH_BUCKET_HEX}) AS bucket,
+               CASE WHEN strpos('02468ace', substr(md5(w), {_FH_BUCKET_HEX + 1}, 1)) > 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT bucket,
+           CAST(sum(sign) AS BIGINT) AS total_weight,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM hashed GROUP BY bucket
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project an unbounded
+    token vocabulary into 256 fixed buckets via md5, with a ±1 sign bit
+    from the next hash character so collisions cancel in expectation —
+    the vocabulary-free featurizer linear-model pipelines use when a
+    vocab build is a luxury. Reports the corpus-level signed weight,
+    document frequency, and token mass per bucket.
+
+    Parity discipline: buckets are 2-hex-char STRING keys (the dsir
+    precedent — string keys sidestep every hex→int conversion trap) and
+    the sign is an even/odd test on one hex character; weights are
+    integer sums, so the result is engine-exact with no float in sight.
+
+    Plan shape: explode → map-side scalar hash → ONE map-combinable
+    groupBy over 256 keys. The count(DISTINCT doc_id) expands to
+    Spark's two-phase distinct aggregate, partial-combined on
+    (bucket, doc_id) before the 256-key shuffle — nothing corpus-scale
+    moves. At 100 TB this is an embarrassingly parallel scan; the output
+    is 256 rows regardless of corpus size."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.md5(F.col("w"))
+    hashed = toks.select(
+        "doc_id",
+        F.substring(h, 1, _FH_BUCKET_HEX).alias("bucket"),
+        F.when(
+            F.instr(F.lit("02468ace"), F.substring(h, _FH_BUCKET_HEX + 1, 1)) > 0, 1
+        ).otherwise(-1).alias("sign"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.sum("sign").cast("long").alias("total_weight"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+    WITH y AS (
+        SELECT o_orderkey, o_orderpriority AS cat,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    agg AS (
+        SELECT cat, sum(cents) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM y GROUP BY cat
+    )
+    SELECT y.o_orderkey, y.cat, y.cents,
+           CAST(((agg.s - y.cents) * 1000000) // (agg.n - 1) AS BIGINT) AS loo_enc_micro
+    FROM y JOIN agg USING (cat)
+    ORDER BY y.o_orderkey LIMIT 20
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (the
+    supervised featurizer gradient-boosting pipelines run): encode each
+    order's priority class as the mean target of all OTHER rows in the
+    class — (Σ_cat − yᵢ)/(n_cat − 1) — which kills the self-leakage that
+    plain mean encoding injects. Target = order total in cents (exact
+    int64); the encoding is emitted in integer micro-units via int64
+    division, so the whole query is integer-exact on any engine. Shown
+    for the first 20 orderkeys (TakeOrderedAndProject).
+
+    Plan shape: one map-combinable per-class aggregate (|classes| rows ≈
+    5) broadcast back onto the scan — the per-row encoding is then a
+    map-only expression. No window, no per-row shuffle: the classic
+    "aggregate once, broadcast, subtract self" pattern that scales to
+    any corpus (contrast the naive per-row correlated subquery, which is
+    a corpus² join)."""
+    orders = _t(spark, sf_dir, "orders")
+    y = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = y.groupBy("cat").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        y.join(F.broadcast(agg), "cat")
+        .select(
+            "o_orderkey",
+            "cat",
+            "cents",
+            F.expr("CAST(((s - cents) * 1000000L) div (n - 1) AS BIGINT)").alias(
+                "loo_enc_micro"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
