@@ -48,6 +48,14 @@ CASES = [
     "ab_test_zscore",                # conditional aggs + rounded statistics (r4)
     "multimodal_real_codecs",        # real PPM/WAV decode, int-exact features (r4)
     "bpe_encode_corpus",             # trained map join-back, integer counts (r4)
+    "ohlc_hourly_bars",              # first/last by unique (ts, event_id) (r4s3)
+    "vwap_hourly",                   # integer-exact cents/micro division (r4s3)
+    "max_drawdown_users",            # stacked running windows, rounded max (r4s3)
+    "cusum_changepoints",            # grid-value prefix sums + argmax day (r4s3)
+    "triangle_count_copurchase",     # degree-oriented integer counts (r4s3)
+    "pq_adc_topk",                   # rounded codebooks + ADC ranking (r4s3)
+    "attribution_last_touch",        # ignore-nulls carry + cents sums (r4s3)
+    "target_encoding_loo",           # broadcast agg + integer micro division (r4s3)
 ]
 
 
