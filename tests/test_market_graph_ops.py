@@ -165,7 +165,7 @@ def test_target_encoding_excludes_self(spark, sf_dir):
     assert len(rows) == 20
     assert [r.o_orderkey for r in rows] == sorted(r.o_orderkey for r in rows)
     for r in rows:
-        assert r.loo_enc_micro >= 0
+        assert r.loo_enc_e4 >= 0
 
 
 def test_feature_hashing_bucket_space(spark, sf_dir):

@@ -175,7 +175,7 @@ def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                ln(value / lag(value) OVER (
                    PARTITION BY event_type, date_trunc('day', ts)
                    ORDER BY ts, event_id)) AS lr
-        FROM events
+        FROM events WHERE value > 0
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
            round(sqrt(sum(lr * lr)), 6) AS realized_vol,
@@ -186,7 +186,9 @@ def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def realized_volatility_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily realized volatility per instrument: sqrt of the sum of
-    squared log returns within the day (returns chained over the unique
+    squared log returns within the day (zero/negative prints are dropped
+    up front — a log return is undefined through them, and a literal 0.0
+    price divides-by-zero under ANSI; returns chained over the unique
     (ts, event_id) order; the day's first trade has no return).
 
     Plan shape: lag() over (instrument, day) partitions — bounded by one
@@ -196,7 +198,7 @@ def realized_volatility_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle total). Float discipline: summands are bounded (|ln ratio|²
     over a bounded price range), so cross-engine partial-sum reorder
     drifts ~1e-12 relative — far inside the 6 dp rounding."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     day = F.date_trunc("day", F.col("ts"))
     w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
     r = ev.withColumn("d", day).select(

@@ -254,7 +254,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM y GROUP BY cat
     )
     SELECT y.o_orderkey, y.cat, y.cents,
-           CAST(((agg.s - y.cents) * 1000000) // (agg.n - 1) AS BIGINT) AS loo_enc_micro
+           CAST(((agg.s - y.cents) * 100) // (agg.n - 1) AS BIGINT) AS loo_enc_e4
     FROM y JOIN agg USING (cat)
     ORDER BY y.o_orderkey LIMIT 20
     """,
@@ -265,8 +265,10 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     order's priority class as the mean target of all OTHER rows in the
     class — (Σ_cat − yᵢ)/(n_cat − 1) — which kills the self-leakage that
     plain mean encoding injects. Target = order total in cents (exact
-    int64); the encoding is emitted in integer micro-units via int64
-    division, so the whole query is integer-exact on any engine. Shown
+    int64); the encoding is emitted in integer 1e-4-dollar units via
+    int64 division — the multiplier is 100, not 1e6, because a class sum
+    at 100-TB scale is ~1e14 cents and Σ·1e6 would overflow int64 (ANSI
+    mode would raise); Σ·100 keeps three orders of headroom at sf100. Shown
     for the first 20 orderkeys (TakeOrderedAndProject).
 
     Plan shape: one map-combinable per-class aggregate (|classes| rows ≈
@@ -290,8 +292,8 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "cat",
             "cents",
-            F.expr("CAST(((s - cents) * 1000000L) div (n - 1) AS BIGINT)").alias(
-                "loo_enc_micro"
+            F.expr("CAST(((s - cents) * 100L) div (n - 1) AS BIGINT)").alias(
+                "loo_enc_e4"
             ),
         )
         .orderBy("o_orderkey")
