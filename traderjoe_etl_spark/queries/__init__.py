@@ -58,6 +58,7 @@ def load_all() -> None:
         llm_ops,
         market_ops,
         pipeline_queries,
+        quality_stats,
         reference_semantics,
         relational,
         retrieval,
