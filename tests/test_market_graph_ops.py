@@ -205,3 +205,41 @@ def test_cusum_flags_level_shift(spark, tmp_path):
     assert row.change_day == "2024-01-04"
     assert row.n_days == 8
     assert row.max_abs_cusum == 80.0  # 4 days × (30-10) below the mean of 30
+
+
+def test_clamped_balance_known_sequence(spark, tmp_path):
+    # deltas (cents): +1000, -2500 (floors at 0), +300 → final 300
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01T00:00:00", 1, "purchase", 10.0, "{}"),
+            (2, "2024-01-01T01:00:00", 1, "error", 25.0, "{}"),
+            (3, "2024-01-01T02:00:00", 1, "purchase", 3.0, "{}"),
+            (4, "2024-01-01T03:00:00", 1, "view", 99.0, "{}"),  # ignored type
+        ],
+    )
+    d = str(tmp_path / "bal")
+    ev.write.parquet(f"{d}/events.parquet")
+    row = QUERIES["clamped_running_balance"](spark, d).collect()[0]
+    assert row.final_cents == 300  # unclamped would be -1200+300
+    assert row.n_moves == 3
+
+
+def test_dq_expectations_single_scan(spark):
+    """All five DQ rules must evaluate in ONE scan of orders (conditional
+    aggregates + stack), not one scan per rule like the oracle's UNION."""
+    df = QUERIES["dq_expectations"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = {r.rule: r for r in df.collect()}
+    assert len(rows) == 5
+    assert all(r.passed for r in rows.values())  # synthetic data is clean
+
+
+def test_benford_chi2_total_consistent(spark, sf_dir):
+    rows = QUERIES["benford_digit_test"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    totals = {r.chi2_total for r in rows}
+    assert len(totals) == 1
+    expected_total = round(sum(round(r.chi2_contrib, 6) for r in rows), 6)
+    assert abs(next(iter(totals)) - expected_total) < 1e-9

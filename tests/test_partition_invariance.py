@@ -56,6 +56,9 @@ CASES = [
     "pq_adc_topk",                   # rounded codebooks + ADC ranking (r4s3)
     "attribution_last_touch",        # ignore-nulls carry + cents sums (r4s3)
     "target_encoding_loo",           # broadcast agg + integer micro division (r4s3)
+    "clamped_running_balance",       # non-associative ordered integer fold (r4s3)
+    "benford_digit_test",            # integer digit counts + rounded chi2 (r4s3)
+    "chi2_independence",             # contingency algebra over 20 cells (r4s3)
 ]
 
 
