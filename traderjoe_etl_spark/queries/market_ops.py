@@ -591,3 +591,141 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
         )
     )
+
+
+@query(
+    "impermanent_loss_daily",
+    oracle="""
+    WITH px AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               first_value(value) OVER w AS o,
+               last_value(value) OVER w AS c
+        FROM events WHERE value > 0
+        WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    daily AS (SELECT event_type, d, max(o) AS open, max(c) AS close
+              FROM px GROUP BY 1, 2)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           round(open, 2) AS open, round(close, 2) AS close,
+           round(close / open, 6) AS price_ratio,
+           round(2 * sqrt(close / open) / (1 + close / open) - 1, 6)
+               AS impermanent_loss
+    FROM daily
+    """,
+)
+def impermanent_loss_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impermanent loss per (pool, day) — the reference's own DEX domain:
+    for a constant-product AMM position, a day-over-day price ratio r
+    costs an LP 2√r/(1+r) − 1 versus holding (the canonical IL formula
+    every pool-analytics dashboard reports). Daily open/close come from
+    the same unique-(ts, event_id) first/last discipline as the OHLC
+    bars; zero prints are excluded (a 0 open is not a price).
+
+    Plan shape: bounded (instrument, day) window partitions + a
+    map-combinable agg on the same keys — one corpus-scale shuffle,
+    |instruments|×|days| output rows; the IL algebra is map-only on the
+    aggregated relation. sqrt's cross-libm 1-ulp wobble sits under the
+    6-dp rounding (the accepted class)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    px = ev.withColumn("d", F.date_trunc("day", F.col("ts"))).select(
+        "event_type",
+        "d",
+        F.first("value").over(w).alias("o"),
+        F.last("value").over(w).alias("c"),
+    )
+    daily = px.groupBy("event_type", "d").agg(
+        F.max("o").alias("open"), F.max("c").alias("close")
+    )
+    r = F.col("close") / F.col("open")
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("open", 2).alias("open"),
+        F.round("close", 2).alias("close"),
+        F.round(r, 6).alias("price_ratio"),
+        F.round(F.lit(2) * F.sqrt(r) / (F.lit(1) + r) - 1, 6).alias("impermanent_loss"),
+    )
+
+
+@query(
+    "twap_daily",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS nxt,
+               CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) + 86400 AS day_end
+        FROM events
+    ),
+    wt AS (
+        SELECT event_type, d, cents,
+               coalesce(nxt, day_end) - sec AS w
+        FROM t
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST((sum(cents * w) * 10000) // (100 * sum(w)) AS BIGINT) AS twap_e4,
+           CAST(sum(w) AS BIGINT) AS covered_secs,
+           CAST(count(*) AS BIGINT) AS n_quotes
+    FROM wt GROUP BY event_type, d
+    """,
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (instrument, day): each print is
+    weighted by the WHOLE seconds it was the standing price (until the
+    next print, or the end of the day for the last one) — the oracle-
+    resistant price benchmark (Uniswap-v2-style cumulative-price TWAP)
+    every DEX publishes, distinct from VWAP's size weighting.
+
+    Integer-exact throughout: prices in cents, weights in whole seconds
+    (Spark's long cast FLOORS fractional seconds while DuckDB's
+    CAST(epoch(..)) rounds-to-nearest — the oracle must floor()
+    explicitly or per-row weights shift by one second), TWAP emitted in
+    1e-4-dollar units via int64 division. Headroom: Σ cents·secs per
+    (instrument, day) ≲ 5e4·86400·|prints| ≈ 1e13 at sf10, ×1e4 ≪ 2^63.
+
+    Plan shape: one lead() window over bounded (instrument, day)
+    partitions, then a map-combinable agg on the same keys — the OHLC
+    shuffle-reuse shape, one corpus-scale shuffle total."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    t = ev.withColumn("d", F.date_trunc("day", F.col("ts"))).select(
+        "event_type",
+        "d",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("long").alias("sec"),
+        F.lead(F.col("ts").cast("long")).over(wl).alias("nxt"),
+        (F.col("d").cast("long") + 86400).alias("day_end"),
+    )
+    wt = t.select(
+        "event_type",
+        "d",
+        "cents",
+        (F.coalesce("nxt", "day_end") - F.col("sec")).alias("w"),
+    )
+    return (
+        wt.groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST((sum(cents * w) * 10000L) div (100L * sum(w)) AS BIGINT)").alias(
+                "twap_e4"
+            ),
+            F.sum("w").cast("long").alias("covered_secs"),
+            F.count(F.lit(1)).cast("long").alias("n_quotes"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "twap_e4",
+            "covered_secs",
+            "n_quotes",
+        )
+    )

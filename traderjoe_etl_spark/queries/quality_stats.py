@@ -298,3 +298,109 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("final_cents"),
         F.size("ds").cast("long").alias("n_moves"),
     )
+
+
+@query(
+    "order_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS computed_e6
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS stated_e6,
+           CAST(coalesce(li.computed_e6, 0) AS BIGINT) AS computed_e6,
+           CAST(coalesce(li.computed_e6, 0)
+                - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS BIGINT) AS diff_e6
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    ORDER BY abs(coalesce(li.computed_e6, 0)
+                 - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000) DESC,
+             o.o_orderkey
+    LIMIT 20
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: recompute each order's total from its
+    line items — Σ extendedprice·(1−discount)·(1+tax) — and rank the 20
+    largest absolute discrepancies against the stated o_totalprice (the
+    ledger-vs-detail consistency audit every finance pipeline runs).
+
+    Integer-exact: prices → cents, rates → integer percent, so the line
+    term cents·(100−d)·(100+t) is an exact int64 in 1e-6-dollar units
+    (headroom: ~1e11 per line, ~1e12 per order). No float enters the
+    comparison, so the discrepancy ranking is bit-stable on any engine
+    and any partitioning.
+
+    Plan shape: one map-combinable per-order sum over lineitem, one
+    equi-join to orders on the order key (both sides shuffle on the same
+    key — co-partitioned at scale; a bucketed layout makes it
+    shuffle-free), then TakeOrderedAndProject for the global top-20 (no
+    full sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    term = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("long"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(term).alias("computed_e6"))
+    stated = F.round(F.col("o_totalprice") * 100).cast("long") * 10000
+    joined = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        stated.alias("stated_e6"),
+        F.coalesce("computed_e6", F.lit(0)).cast("long").alias("computed_e6"),
+        (F.coalesce("computed_e6", F.lit(0)) - stated).cast("long").alias("diff_e6"),
+    )
+    return joined.orderBy(F.abs(F.col("diff_e6")).desc(), "o_orderkey").limit(20)
+
+
+@query(
+    "source_lang_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(n) AS nt FROM c GROUP BY 1)
+    SELECT c.source,
+           CAST(max(tot.nt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(-sum((c.n * 1.0 / tot.nt) * ln(c.n * 1.0 / tot.nt)), 6) AS entropy,
+           round(exp(-sum((c.n * 1.0 / tot.nt) * ln(c.n * 1.0 / tot.nt))), 4)
+               AS effective_langs
+    FROM c JOIN tot USING (source)
+    GROUP BY c.source
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report: Shannon entropy of the language
+    distribution within each source, plus the "effective number of
+    languages" exp(H) — the mixture-balance readout a pre-training data
+    committee reads before setting sampling temperatures (the
+    temperature_mix_sources companion metric).
+
+    Plan shape: one corpus-scale (source, lang) count (map-combinable),
+    then all algebra over the |sources|×|langs| relation with a
+    broadcast per-source total. Probabilities derive from identical
+    integers on both engines; ln/exp 1-ulp wobble sits under the 6/4-dp
+    rounding (the accepted libm class)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("nt"))
+    p = F.col("n") * F.lit(1.0) / F.col("nt")
+    h = -F.sum(p * F.log(p))
+    return (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("nt").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(h, 6).alias("entropy"),
+            F.round(F.exp(h), 4).alias("effective_langs"),
+        )
+    )
