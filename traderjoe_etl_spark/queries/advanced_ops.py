@@ -626,3 +626,81 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
     return merge_upsert(target, updates.unionByName(inserts), keys=["o_orderkey"])
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value,
+               first_value(value) OVER w AS o,
+               last_value(value) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+           round(max(o), 2) AS open, round(max(value), 2) AS high,
+           round(min(value), 2) AS low, round(max(c), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM b GROUP BY event_type, bar
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC candlestick resample as an ACTUAL Structured Streaming
+    job — the production form of ohlc_hourly_bars: readStream → tumbling
+    1 h event-time window + watermark → min_by/max_by((ts, event_id))
+    open/close → availableNow drain into a memory table.
+
+    The open/close aggregates here are min_by/max_by with a STRUCT
+    ordering key rather than the batch query's window-then-agg: a
+    streaming aggregation cannot run an unbounded window frame, but
+    min_by carries (key, value) state of O(1) per (instrument, bar)
+    group — the correct incremental form, and exactly what makes OHLC
+    streamable at any rate. Watermark 0 s because the drain is a
+    replayed batch; production sets minutes. The DuckDB oracle replays
+    the same semantics in the batch window form (arg_min in DuckDB 1.0
+    cannot take a struct ordering key), proving stream == batch — the
+    Kappa-architecture parity check."""
+    apply_runtime_confs(spark)
+    d = _scratch_dir("stream_ohlc_")
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("__stream_ohlc_bars")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream_ohlc_bars drain did not finish in 300s")
+    finally:
+        q.stop()
+    out = spark.table("__stream_ohlc_bars")
+    return out.select(
+        "event_type",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+    )
