@@ -729,3 +729,131 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_quotes",
         )
     )
+
+
+@query(
+    "linear_trend_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+               max(x) AS last_x
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope_cents_per_day,
+           round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept_cents,
+           round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n
+                 + (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * (last_x + 1), 4)
+               AS forecast_next_day_cents
+    FROM s
+    """,
+)
+def linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend per instrument over the daily volume
+    series: closed-form slope/intercept from the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) plus a next-day forecast — the
+    in-engine regression every capacity/revenue forecast starts from
+    (the learned cousin of forecast_revenue_q6's fixed uplift).
+
+    The sufficient-statistic form IS the scale story: x is an integer
+    day index, y an integer cents sum, so all five statistics are exact
+    int64s computed in two map-combinable aggregates (corpus → daily →
+    five numbers per instrument); the float algebra happens on
+    |instruments| rows of identical integers — both engines divide the
+    same exact numerators. Headroom: Σxy ≲ 2e15 at sf100, inside int64.
+    Never a per-row model, never a window, never a driver fit."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("last_x"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(intercept, 6).alias("intercept_cents"),
+        F.round(intercept + slope * (F.col("last_x") + 1), 4).alias(
+            "forecast_next_day_cents"
+        ),
+    )
+
+
+@query(
+    "seasonality_hour_of_day",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(cents) AS tc, sum(n) AS tn FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hod, h.n,
+           round((h.cents * 1.0 / h.n) / (t.tc * 1.0 / t.tn), 6) AS seasonal_index
+    FROM hourly h JOIN tot t USING (event_type)
+    """,
+)
+def seasonality_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per instrument: mean value in each
+    clock hour relative to the instrument's overall mean (index > 1 =
+    hot hour) — the profile a scheduler or market-maker reads before
+    placing load or liquidity.
+
+    Plan shape: one corpus-scale (instrument, hour-of-day) aggregate
+    (24×|instruments| rows, map-combinable, integer cents), per-
+    instrument totals derived FROM that aggregate (no second scan), and
+    a broadcast join for the ratio. Both engines build the index from
+    identical exact integers; one division each, rounded 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("int").alias("hod"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.sum("c").alias("cents"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("cents").alias("tc"), F.sum("n").alias("tn")
+    )
+    return hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(
+            (F.col("cents") * F.lit(1.0) / F.col("n"))
+            / (F.col("tc") * F.lit(1.0) / F.col("tn")),
+            6,
+        ).alias("seasonal_index"),
+    )

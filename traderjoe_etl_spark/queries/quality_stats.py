@@ -404,3 +404,86 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(h), 4).alias("effective_langs"),
         )
     )
+
+
+def _skew_oracle_one(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS key_column, rnk.k AS key_value, rnk.n AS key_rows, rnk.rk,
+           st.total_rows, st.n_keys,
+           round(rnk.n * 1.0 / (st.total_rows * 1.0 / st.n_keys), 4) AS skew_factor
+    FROM (
+        SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rk
+        FROM (SELECT {col} AS k, CAST(count(*) AS BIGINT) AS n
+              FROM {table} GROUP BY 1)
+    ) rnk
+    CROSS JOIN (
+        SELECT CAST(sum(n) AS BIGINT) AS total_rows, CAST(count(*) AS BIGINT) AS n_keys
+        FROM (SELECT {col} AS k, count(*) AS n FROM {table} GROUP BY 1)
+    ) st
+    WHERE rnk.rk <= 5
+    """
+
+
+@query(
+    "key_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_oracle_one("lineitem", "l_partkey"),
+            _skew_oracle_one("lineitem", "l_suppkey"),
+            _skew_oracle_one("orders", "o_custkey"),
+        ]
+    ),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: for each candidate key column,
+    the 5 heaviest keys with their row counts and skew factor (key rows
+    ÷ the uniform per-key expectation) — the report that decides whether
+    a join needs salting or AQE skew handling BEFORE the 3 a.m. straggler
+    (operators/skew.py's salted join is the remedy; this is the
+    detector).
+
+    Plan shape: per column, one map-combinable count aggregate; the
+    top-5 cut is orderBy+limit per column — TakeOrderedAndProject, the
+    limit-then-rank discipline (a window over all keys of a column would
+    rank the full key space through one task; three static columns →
+    three bounded plans unioned). Stats (total, distinct) come from the
+    SAME counted relation (lazily checkpointed — consumed twice), not a
+    second scan. Counts are integers; the skew factor is one rounded
+    division of exact integers."""
+    from pyspark.sql import Window as W
+
+    specs = [("lineitem", "l_partkey"), ("lineitem", "l_suppkey"), ("orders", "o_custkey")]
+    parts = []
+    for table, col in specs:
+        t = _t(spark, sf_dir, table)
+        counts = (
+            t.groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+        st = counts.agg(
+            F.sum("n").cast("long").alias("total_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+        top = counts.orderBy(F.col("n").desc(), "k").limit(5)
+        w = W.orderBy(F.col("n").desc(), "k")
+        ranked = top.withColumn("rk", F.row_number().over(w))
+        parts.append(
+            ranked.join(F.broadcast(st)).select(
+                F.lit(col).alias("key_column"),
+                F.col("k").alias("key_value"),
+                F.col("n").alias("key_rows"),
+                "rk",
+                "total_rows",
+                "n_keys",
+                F.round(
+                    F.col("n") * F.lit(1.0)
+                    / (F.col("total_rows") * F.lit(1.0) / F.col("n_keys")),
+                    4,
+                ).alias("skew_factor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
