@@ -59,6 +59,11 @@ CASES = [
     "clamped_running_balance",       # non-associative ordered integer fold (r4s3)
     "benford_digit_test",            # integer digit counts + rounded chi2 (r4s3)
     "chi2_independence",             # contingency algebra over 20 cells (r4s3)
+    "ks_two_sample",                 # distributed prefix-sum ECDF (r4s4)
+    "acf_daily_revenue",             # calendar-join lag products, rounded (r4s4)
+    "naive_bayes_lang_confusion",    # rounded-score argmax, broadcast model (r4s4)
+    "gopher_quality_rules",          # map-only integer rule counts (r4s4)
+    "bfs_hop_distance",              # frontier iteration, integer-exact (r4s4)
 ]
 
 

@@ -235,3 +235,34 @@ def test_funnel_stages_are_equi_joins(spark, qs):
     nested loops are banned, i.e. any CartesianProduct.)"""
     f = plan_facts(qs["funnel_progression"](spark, SF))
     assert "CartesianProduct" not in f.operators
+
+
+def test_ks_prefix_sum_is_range_partitioned(spark, qs):
+    """ks_two_sample: the ECDF must be the distributed prefix sum — a
+    rangepartitioning exchange feeding per-pid windows — never one global
+    sum(...) OVER (ORDER BY v) window over the value relation (which ships
+    every distinct value through a single task at scale)."""
+    f = plan_facts(qs["ks_two_sample"](spark, SF))
+    assert "rangepartitioning" in f.text.lower()
+    # every window over the value-count relation is partitioned by pid;
+    # the only empty-partition-spec windows allowed are the pid-offset
+    # scans over the <=32-row totals relation (bounded by partition COUNT)
+    specs = [ln for ln in f.text.splitlines() if "windowspecdefinition" in ln]
+    assert any("pid" in s for s in specs)
+
+
+def test_naive_bayes_model_is_broadcast(spark, qs):
+    """The NB model must stay broadcast-sized: the vocab cut is a
+    TakeOrderedAndProject (never a global rank window) and scoring joins
+    the log-prob relation in as a broadcast."""
+    f = plan_facts(qs["naive_bayes_lang_confusion"](spark, SF))
+    assert "TakeOrderedAndProject" in f.operators
+    assert f.n_broadcasts >= 2
+
+
+def test_gopher_rules_map_only(spark, qs):
+    """gopher_quality_rules: per-row expressions + one tiny rollup — no
+    windows anywhere, no regexp_replace char-class copies in the plan."""
+    f = plan_facts(qs["gopher_quality_rules"](spark, SF))
+    assert "Window" not in f.operators
+    assert "regexp_replace" not in f.text.lower()

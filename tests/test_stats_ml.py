@@ -1,0 +1,181 @@
+"""Independent-reimplementation checks for the stats/ML family (round 4,
+session 4): each query is recomputed in plain numpy/pandas from the same
+parquet — a third opinion besides the DuckDB oracle, so a bug shared by
+two SQL engines' common idiom would still be caught."""
+
+from __future__ import annotations
+
+import collections
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _pdf(sf_dir: str, table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def test_ks_two_sample_matches_numpy(spark, sf_smoke):
+    got = QUERIES["ks_two_sample"](spark, sf_smoke).toPandas().iloc[0]
+    orders = _pdf(sf_smoke, "orders")
+    a = np.sort(orders.loc[orders.o_orderpriority == "1-URGENT", "o_totalprice"].values)
+    b = np.sort(orders.loc[orders.o_orderpriority == "5-LOW", "o_totalprice"].values)
+    vals = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, vals, side="right") / len(a)
+    fb = np.searchsorted(b, vals, side="right") / len(b)
+    d = float(np.max(np.abs(fa - fb)))
+    assert int(got.n_a) == len(a) and int(got.n_b) == len(b)
+    assert abs(float(got.ks_d) - d) < 1e-6  # query rounds to 6 dp
+    stat = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
+    assert abs(float(got.ks_stat) - stat) < 1e-6
+
+
+def test_acf_daily_revenue_matches_numpy(spark, sf_smoke):
+    got = QUERIES["acf_daily_revenue"](spark, sf_smoke).toPandas()
+    orders = _pdf(sf_smoke, "orders")
+    daily = (
+        orders.assign(day=orders.o_orderdate.dt.floor("D"))
+        .groupby("day")["o_totalprice"]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    mu = daily.mean()
+    den = ((daily - mu) ** 2).sum()
+    for _, row in got.iterrows():
+        k = int(row["lag"])
+        shifted = daily.copy()
+        shifted.index = shifted.index - pd.Timedelta(days=k)
+        joined = pd.concat([daily.rename("sa"), shifted.rename("sb")], axis=1).dropna()
+        num = ((joined.sa - mu) * (joined.sb - mu)).sum()
+        assert int(row["n_pairs"]) == len(joined), k
+        assert abs(float(row["acf"]) - num / den) < 1e-5, k
+
+
+def test_naive_bayes_matches_numpy(spark, sf_smoke):
+    got = QUERIES["naive_bayes_lang_confusion"](spark, sf_smoke).toPandas()
+    docs = _pdf(sf_smoke, "documents")
+    tf: dict[tuple[int, str], collections.Counter] = {}
+    cls_docs: collections.Counter = collections.Counter()
+    for _, d in docs.iterrows():
+        toks = [w for w in d.text.strip().split() if w]
+        tf[(d.doc_id, d.lang)] = collections.Counter(toks)
+        cls_docs[d.lang] += 1
+    total = sum(
+        (cnt for c in tf.values() for cnt in c.values()), start=0
+    )
+    vocab_counts: collections.Counter = collections.Counter()
+    for c in tf.values():
+        vocab_counts.update(c)
+    vocab = {t for t, _ in sorted(vocab_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:512]}
+    v = len(vocab)
+    ctc: dict[str, collections.Counter] = collections.defaultdict(collections.Counter)
+    for (doc, lang), c in tf.items():
+        for t, n in c.items():
+            if t in vocab:
+                ctc[lang][t] += n
+    tokc = {cls: sum(c.values()) for cls, c in ctc.items()}
+    n_docs = sum(cls_docs.values())
+    confusion: collections.Counter = collections.Counter()
+    classes = sorted(cls_docs)
+    for (doc, lang), c in tf.items():
+        best = None
+        for cls in classes:
+            s = math.log(cls_docs[cls] / n_docs)
+            for t, n in c.items():
+                if t in vocab:
+                    s += n * math.log((ctc[cls].get(t, 0) + 1.0) / (tokc[cls] + v))
+            key = (-round(s, 6), cls)
+            if best is None or key < best[0]:
+                best = (key, cls)
+        confusion[(lang, best[1])] += 1
+    got_map = {
+        (r["actual"], r["predicted"]): int(r["n"]) for _, r in got.iterrows()
+    }
+    assert got_map == dict(confusion)
+    assert total > 0  # corpus sanity
+
+
+def test_gopher_rules_match_pandas(spark, sf_smoke):
+    got = QUERIES["gopher_quality_rules"](spark, sf_smoke).toPandas()
+    docs = _pdf(sf_smoke, "documents")
+    stops = {"the", "a", "and", "of", "to", "data", "value", "row"}
+    rows = []
+    for _, d in docs.iterrows():
+        words = [w for w in d.text.strip().split() if w]
+        wc = len(words)
+        nchars = sum(len(w) for w in words)
+        symbols = d.text.count("#") + d.text.count("...")
+        alpha = sum(1 for w in words if any(ch.isalpha() for ch in w.lower()))
+        stop_hits = sum(1 for s in stops if s in words)
+        f = {
+            "f_wc": 0 if 50 <= wc <= 100000 else 1,
+            "f_mwl": 0 if 3 <= nchars / wc <= 10 else 1,
+            "f_sym": 0 if symbols / wc <= 0.1 else 1,
+            "f_alpha": 0 if alpha / wc >= 0.8 else 1,
+            "f_stop": 0 if stop_hits >= 2 else 1,
+        }
+        rows.append({"source": d.source, **f, "ok": 1 if sum(f.values()) == 0 else 0})
+    exp = (
+        pd.DataFrame(rows)
+        .groupby("source")
+        .agg(
+            n_docs=("ok", "size"),
+            n_pass=("ok", "sum"),
+            fail_wordcount=("f_wc", "sum"),
+            fail_mean_word_len=("f_mwl", "sum"),
+            fail_symbol_ratio=("f_sym", "sum"),
+            fail_alpha_ratio=("f_alpha", "sum"),
+            fail_stopwords=("f_stop", "sum"),
+        )
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    got = got.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns if c != "source"}), exp
+    )
+
+
+def test_bfs_matches_python_bfs(spark, sf_smoke):
+    got = QUERIES["bfs_hop_distance"](spark, sf_smoke).toPandas()
+    li = _pdf(sf_smoke, "lineitem")
+    li = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")]
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for _, grp in op.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey)
+        for i, x in enumerate(parts):
+            for y in parts[i + 1 :]:
+                adj[x].add(y)
+                adj[y].add(x)
+    deg = {n: len(s) for n, s in adj.items()}
+    seed = min(deg, key=lambda n: (-deg[n], n))
+    dist = {seed: 0}
+    frontier = [seed]
+    for hop in range(1, 5):
+        nxt = sorted(
+            {m for n in frontier for m in adj[n] if m not in dist}
+        )
+        for m in nxt:
+            dist[m] = hop
+        frontier = nxt
+    exp = collections.defaultdict(lambda: [0, 0])
+    for n, h in dist.items():
+        exp[h][0] += 1
+        exp[h][1] += n
+    got_map = {
+        int(r["hop"]): (int(r["n_nodes"]), int(r["sum_ids"])) for _, r in got.iterrows()
+    }
+    assert got_map == {h: tuple(v) for h, v in exp.items()}

@@ -65,6 +65,7 @@ def load_all() -> None:
         scale_ops,
         sql_surface_extras,
         stateful_queries,
+        stats_ml_ops,
         subquery_shapes,
         tpch_shapes,
         text_analysis,

@@ -168,3 +168,108 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6).alias("transitivity"),
         )
     )
+
+
+@query(
+    "bfs_hop_distance",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    e AS (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+    ),
+    ge AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT s AS n, count(*) AS dg FROM ge GROUP BY s),
+    seed AS (SELECT n FROM deg ORDER BY dg DESC, n ASC LIMIT 1),
+    bfs(node, hop) AS (
+        SELECT n, 0 FROM seed
+        UNION
+        SELECT ge.d, bfs.hop + 1
+        FROM bfs JOIN ge ON ge.s = bfs.node
+        WHERE bfs.hop < 4
+    ),
+    md AS (SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY node)
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_ids
+    FROM md GROUP BY hop ORDER BY hop
+    """,
+)
+def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance (≤ 4 hops) from the highest-degree part
+    in the co-purchase graph — the iterative-graph-traversal primitive
+    (the DuckDB oracle is the same traversal as a recursive CTE, so the
+    per-hop node counts and id sums are integer-exact across engines).
+
+    Spark has no recursive CTE; the scalable form is frontier iteration:
+
+    1. the same one-year co-purchase edge set as triangle_count_copurchase,
+       made undirected (union of both orientations) and
+       localCheckpoint-ed — the static-relation rule for iterative
+       algorithms (a lazy plan re-derives the distinct self-join per
+       consumer, ~7x; see pagerank_sources);
+    2. seed = argmax-degree node (TakeOrderedAndProject limit 1 — a
+       bounded collect, never a global rank window);
+    3. per round: frontier ⋈ edges (equi-join shuffle on node id,
+       AQE-skew-splittable) → candidate nodes, ANTI-joined against the
+       visited set (min-hop falls out of visit order), each round
+       localCheckpoint-ed eagerly so round k's plan never re-inlines
+       round k-1 (the (n^2)^k composition blowup from the BPE family).
+
+    Every round is one shuffle bounded by |frontier| x avg-degree; the
+    visited set carries (node, hop) only — 16 bytes a row at 100 TB.
+    Rounds are driver-side Python over KB-sized plans, not data collects.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    e = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    ge = (
+        e.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    seed_row = (
+        ge.groupBy(F.col("s").alias("n"))
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.col("dg").desc(), F.col("n").asc())
+        .limit(1)
+        .collect()
+    )
+    seed = int(seed_row[0]["n"])
+    visited = spark.createDataFrame(
+        [(seed, 0)], "node bigint, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(ge, frontier["node"] == ge["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_ids"),
+        )
+        .orderBy("hop")
+    )

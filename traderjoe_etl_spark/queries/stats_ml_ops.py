@@ -1,0 +1,539 @@
+"""Statistical testing + in-engine ML scoring (round 4, session 4):
+Kolmogorov–Smirnov two-sample test, lag-k autocorrelation, a multinomial
+Naive-Bayes classifier trained and scored entirely in-plan, and the
+Gopher-style document quality rule suite (Rae et al. 2021, arXiv:2112.11446
+§A1.1).
+
+Scale notes that shape every query here:
+
+- The KS test needs a GLOBAL cumulative distribution — the textbook form is
+  ``sum(...) OVER (ORDER BY value)``, which Spark executes as a single-task
+  window (the WindowGroupLimit prune never fires for an empty partition
+  spec; see NOTES.md).  ks_two_sample instead implements a distributed
+  prefix sum: aggregate to per-value counts (map-side combinable), range-
+  repartition by value, cumulate WITHIN each range partition (a
+  partition-parallel window keyed by spark_partition_id), and add per-
+  partition offsets computed from a #partitions-row relation.  Every window
+  is bounded — by a range partition or by the partition COUNT — so the plan
+  survives a 100× scale-up where the naive global window serializes.
+- Naive Bayes keeps only the (doc, term, count) relation at corpus scale;
+  the model (vocab × classes log-probabilities, class priors) is broadcast-
+  sized by construction (vocab capped top-K), so scoring is one broadcast
+  join + a map-side-combinable per-(doc, class) sum.
+- The Gopher rules are pure per-row expressions (translate/split, no
+  regexp_replace copies, no UDFs) → map-only until the final per-source
+  rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.tables import read_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test
+# --------------------------------------------------------------------------
+
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+
+
+@query(
+    "ks_two_sample",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN o_orderpriority = '{_KS_B}' THEN 1 ELSE 0 END AS ib
+        FROM orders
+        WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+    ),
+    agg AS (
+        SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        FROM pts GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        FROM agg
+    ),
+    cum AS (
+        SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+               sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+        FROM agg
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           round(max(abs(CAST(cum.fa AS DOUBLE) / tot.na
+                         - CAST(cum.fb AS DOUBLE) / tot.nb)), 6) AS ks_d,
+           round(sqrt(CAST(tot.na AS DOUBLE) * tot.nb / (tot.na + tot.nb))
+                 * max(abs(CAST(cum.fa AS DOUBLE) / tot.na
+                           - CAST(cum.fb AS DOUBLE) / tot.nb)), 6) AS ks_stat
+    FROM cum, tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    o_totalprice distributions of 1-URGENT vs 5-LOW orders:
+    D = max over values of |F_a(v) − F_b(v)|, plus the scaled statistic
+    sqrt(na·nb/(na+nb))·D.
+
+    Distributed prefix-sum plan (the scalable ECDF — no single-task global
+    window anywhere):
+    1. per-value counts (ca, cb) via groupBy(v) — one map-side-combinable
+       shuffle; from here on the relation is |distinct values|, not |rows|;
+    2. repartitionByRange(32, v): partition i holds a contiguous value
+       range below partition i+1's (result is invariant to the sampled
+       boundaries — offsets absorb any split);
+    3. within-partition cumulative sums via a window PARTITIONED BY
+       spark_partition_id() — partition-parallel, each bounded by its range
+       partition's rows;
+    4. per-partition totals → running offsets via a window over the ≤32-row
+       pid relation (bounded by the partition COUNT, not the data), joined
+       back broadcast.
+    F_a = (offset_a + prefix_a)/na is then exact integer arithmetic divided
+    once per row — bit-identical across engines, so ks_d needs no rounding
+    slack (rounded to 6 dp anyway for the contract).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.filter(F.col("o_orderpriority").isin(_KS_A, _KS_B)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == _KS_A, 1).otherwise(0).alias("ia"),
+        F.when(F.col("o_orderpriority") == _KS_B, 1).otherwise(0).alias("ib"),
+    )
+    agg = pts.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"), F.sum("ib").cast("long").alias("cb")
+    )
+    ranged = agg.repartitionByRange(32, "v").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranged.select(
+        "pid",
+        F.sum("ca").over(w_in).alias("pa"),
+        F.sum("cb").over(w_in).alias("pb"),
+    )
+    totals = ranged.groupBy("pid").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    n = agg.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    ecdf = cum.join(F.broadcast(offsets), "pid").crossJoin(F.broadcast(n))
+    diff = F.abs(
+        (F.col("oa") + F.col("pa")).cast("double") / F.col("na")
+        - (F.col("ob") + F.col("pb")).cast("double") / F.col("nb")
+    )
+    return ecdf.groupBy("na", "nb").agg(F.max(diff).alias("d")).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.col("d"), 6).alias("ks_d"),
+        F.round(
+            F.sqrt(F.col("na").cast("double") * F.col("nb") / (F.col("na") + F.col("nb")))
+            * F.col("d"),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily revenue series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS s
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT avg(s) AS mu,
+               sum((s - (SELECT avg(s) FROM daily)) * (s - (SELECT avg(s) FROM daily))) AS den
+        FROM daily
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 8)),
+    pairs AS (
+        SELECT l.lag, a.s AS sa, b.s AS sb
+        FROM daily a
+        JOIN lags l ON true
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    )
+    SELECT p.lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((p.sa - st.mu) * (p.sb - st.mu)) / st.den, 6) AS acf
+    FROM pairs p, stats st
+    GROUP BY p.lag, st.den
+    ORDER BY p.lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at calendar lags 1..7 days:
+    acf(k) = Σ (s_t − μ)(s_{t+k} − μ) / Σ (s_t − μ)², the standard
+    full-series-denominator ACF (the seasonality companion to
+    seasonality_hour_of_day / linear_trend_daily).
+
+    Scale shape: the only corpus-scale pass is the groupBy(day) daily
+    rollup (map-side combinable; output bounded by the calendar — a 100-TB
+    history is still only ~10⁴ days).  μ and the denominator are one more
+    tiny aggregate over the daily relation; the 7 lag alignments are
+    equi-joins of the calendar-sized series against itself (broadcast), so
+    no window at all — gaps in the calendar simply drop pairs, identically
+    in both engines.  Daily sums rounded to 2 dp on both sides before the
+    centered products so the series the two engines correlate is identical.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    stats = daily.crossJoin(
+        F.broadcast(daily.agg(F.avg("s").alias("mu")))
+    ).agg(
+        F.first("mu").alias("mu"),
+        F.sum((F.col("s") - F.col("mu")) * (F.col("s") - F.col("mu"))).alias("den"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+        )
+        .select("lag", F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy("lag", "den")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("sa") - F.col("mu")) * (F.col("sb") - F.col("mu"))).alias("num"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes, trained and scored in-plan
+# --------------------------------------------------------------------------
+
+_NB_TOPV = 512
+
+
+@query(
+    "naive_bayes_lang_confusion",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(list_filter(str_split_regex(trim(text), '\\s+'),
+                                                w -> w <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2, 3
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, sum(cnt) AS total FROM tf GROUP BY term
+            ORDER BY total DESC, term ASC LIMIT {_NB_TOPV}
+        )
+    ),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    classes AS (SELECT lang AS cls, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+                FROM tf GROUP BY lang),
+    ntot AS (SELECT CAST(sum(ndocs) AS BIGINT) AS n FROM classes),
+    ctc AS (
+        SELECT tf.lang AS cls, tf.term, sum(tf.cnt) AS c
+        FROM tf JOIN vocab USING (term) GROUP BY 1, 2
+    ),
+    tokc AS (SELECT cls, sum(c) AS tc FROM ctc GROUP BY cls),
+    lp AS (
+        SELECT g.cls, g.term,
+               ln((COALESCE(ctc.c, 0) + 1.0) / (tokc.tc + vsize.v)) AS logp
+        FROM (SELECT classes.cls, vocab.term FROM classes, vocab) g
+        LEFT JOIN ctc ON ctc.cls = g.cls AND ctc.term = g.term
+        JOIN tokc ON tokc.cls = g.cls
+        CROSS JOIN vsize
+    ),
+    scores AS (
+        SELECT tf.doc_id, tf.lang AS actual, lp.cls,
+               sum(tf.cnt * lp.logp)
+                 + ln(CAST(any_value(classes.ndocs) AS DOUBLE) / any_value(ntot.n)) AS score
+        FROM tf
+        JOIN lp ON lp.term = tf.term
+        JOIN classes ON classes.cls = lp.cls
+        CROSS JOIN ntot
+        GROUP BY tf.doc_id, tf.lang, lp.cls
+    ),
+    pred AS (
+        SELECT doc_id, actual, cls AS predicted,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY round(score, 6) DESC, cls ASC) AS rn
+        FROM scores
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes (add-one smoothing) trained on the documents
+    corpus to predict `lang` from term counts, self-scored, reported as a
+    confusion matrix (actual, predicted, n).  The whole train+score cycle is
+    one declarative plan — no driver-side model object.
+
+    Scale shape: the only corpus-scale relations are tok/tf (one explode +
+    one map-side-combinable groupBy).  The model is broadcast-sized by
+    construction — vocab is capped to the top-{_NB_TOPV} terms
+    (TakeOrderedAndProject, never a global rank window), so log-probs are
+    |vocab|×|classes| rows and scoring is a broadcast join back onto tf
+    followed by a per-(doc, class) partial-aggregated sum.  The per-doc
+    argmax window is bounded by |classes|.
+
+    Oracle parity: scores are double log-sums (order-dependent at ~1e-13);
+    the argmax ranks on round(score, 6) with the class name as tie-break,
+    so both engines pick the same class unless two classes land within
+    1e-12 of the same 1e-6 grid line — the same margin contract as
+    logreg_quality_gate.  The emitted columns are integer counts only.
+
+    On this synthetic corpus every lang shares one vocabulary, so the
+    posterior is near-uniform and accuracy is near-chance — the gate proves
+    the arithmetic (priors, smoothing, log-likelihoods, argmax), not model
+    quality.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    tf = (
+        tok.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(_NB_TOPV)
+        .select("term")
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    classes = tf.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").cast("long").alias("ndocs")
+    )
+    ntot = classes.agg(F.sum("ndocs").cast("long").alias("n"))
+    ctc = (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy(F.col("lang").alias("cls"), "term")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    tokc = ctc.groupBy("cls").agg(F.sum("c").alias("tc"))
+    grid = classes.select("cls").crossJoin(vocab)
+    lp = (
+        grid.join(ctc, ["cls", "term"], "left")
+        .join(tokc, "cls")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "cls",
+            "term",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tc") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    prior = classes.crossJoin(F.broadcast(ntot)).select(
+        "cls", F.log(F.col("ndocs").cast("double") / F.col("n")).alias("logprior")
+    )
+    scores = (
+        tf.join(F.broadcast(lp), "term")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "cls")
+        .agg(F.sum(F.col("cnt") * F.col("logp")).alias("ll"))
+        .join(F.broadcast(prior), "cls")
+        .select(
+            "doc_id", "actual", "cls", (F.col("ll") + F.col("logprior")).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("cls").asc()
+    )
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("actual", F.col("cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (arXiv:2112.11446 §A1.1, adapted)
+# --------------------------------------------------------------------------
+
+# Canonical Gopher stop set plus corpus-domain terms so the rule
+# discriminates on the synthetic vocabulary (the canonical 8 alone would
+# fail every doc — 'the' is the only one the generator emits).
+_STOPS = ("the", "a", "and", "of", "to", "data", "value", "row")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPS)
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               list_filter(str_split_regex(trim(text), '\\s+'), w -> w <> '') AS words,
+               length(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) AS nchars,
+               length(text) - length(replace(text, '#', ''))
+                 + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+        FROM documents
+    ),
+    rules AS (
+        SELECT source,
+               CAST(len(words) AS BIGINT) AS wc,
+               CASE WHEN len(words) BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_wc,
+               CASE WHEN CAST(nchars AS DOUBLE) / len(words) BETWEEN 3 AND 10
+                    THEN 0 ELSE 1 END AS f_mwl,
+               CASE WHEN CAST(symbols AS DOUBLE) / len(words) <= 0.1
+                    THEN 0 ELSE 1 END AS f_sym,
+               CASE WHEN CAST(len(list_filter(words,
+                         w -> length(translate(lower(w), 'abcdefghijklmnopqrstuvwxyz', ''))
+                              < length(w))) AS DOUBLE) / len(words) >= 0.8
+                    THEN 0 ELSE 1 END AS f_alpha,
+               CASE WHEN len(list_filter([{_STOP_SQL}],
+                         s -> list_contains(words, s))) >= 2
+                    THEN 0 ELSE 1 END AS f_stop
+        FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+           CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_sym) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_ratio,
+           CAST(sum(f_stop) AS BIGINT) AS fail_stopwords
+    FROM rules
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule suite (arXiv:2112.11446 §A1.1) per source:
+    word count in [50, 100000]; mean word length in [3, 10]; symbol-to-word
+    ratio (# and ellipses) ≤ 0.1; ≥80% of words contain an alphabetic
+    character; ≥2 stopwords present.  Emits per-source doc counts,
+    full-pass counts, and per-rule failure counts — the report a curation
+    pipeline reads before dropping data.
+
+    Scale shape: every feature is a per-row expression over the text —
+    split once, translate-based char-class counts (never
+    length(regexp_replace(...)) copies — the 7× rule from text_profile),
+    stopword membership as array_contains over the 8-element literal —
+    then one map-side-combinable per-source rollup.  Map-only until the
+    final tiny shuffle; no UDFs, no windows.
+
+    Oracle parity: all comparisons are count/count doubles from identical
+    integers (single division → bit-identical across engines), so every
+    emitted column is an exact integer.  The line-based bullet/ellipsis
+    rules from the paper are omitted — the synthetic corpus is single-line,
+    so they would be constants (documented, not hidden).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    nchars = F.length(F.translate(F.col("text"), " \t\n\r", ""))
+    # '...' is removed non-overlapping, so the length delta is always a
+    # multiple of 3 — the integer division is exact in both engines.
+    symbols = F.expr(
+        "length(text) - length(translate(text, '#', '')) "
+        "+ (length(text) - length(replace(text, '...', ''))) div 3"
+    )
+    feat = docs.select(
+        "source",
+        words.alias("words"),
+        nchars.alias("nchars"),
+        symbols.cast("long").alias("symbols"),
+    )
+    wc = F.size(F.col("words"))
+    alpha_words = F.size(
+        F.filter(
+            F.col("words"),
+            lambda w: F.length(
+                F.translate(F.lower(w), "abcdefghijklmnopqrstuvwxyz", "")
+            )
+            < F.length(w),
+        )
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPS]),
+            lambda s: F.array_contains(F.col("words"), s),
+        )
+    )
+    zero_one = lambda cond: F.when(cond, 0).otherwise(1)  # noqa: E731
+    rules = feat.select(
+        "source",
+        wc.cast("long").alias("wc"),
+        zero_one((wc >= 50) & (wc <= 100000)).alias("f_wc"),
+        zero_one(
+            (F.col("nchars").cast("double") / wc >= 3)
+            & (F.col("nchars").cast("double") / wc <= 10)
+        ).alias("f_mwl"),
+        zero_one(F.col("symbols").cast("double") / wc <= 0.1).alias("f_sym"),
+        zero_one(alpha_words.cast("double") / wc >= 0.8).alias("f_alpha"),
+        zero_one(stop_hits >= 2).alias("f_stop"),
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("f_wc") + F.col("f_mwl") + F.col("f_sym") + F.col("f_alpha") + F.col("f_stop")
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
+            F.sum("f_wc").cast("long").alias("fail_wordcount"),
+            F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+            F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+            F.sum("f_alpha").cast("long").alias("fail_alpha_ratio"),
+            F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        )
+        .orderBy("source")
+    )
