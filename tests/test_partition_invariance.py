@@ -64,6 +64,8 @@ CASES = [
     "naive_bayes_lang_confusion",    # rounded-score argmax, broadcast model (r4s4)
     "gopher_quality_rules",          # map-only integer rule counts (r4s4)
     "bfs_hop_distance",              # frontier iteration, integer-exact (r4s4)
+    "item_item_cosine_topk",         # integer co-counts, rounded cosine rank (r4s4)
+    "poisson_bootstrap_ci",          # hash weights, rounded replicate means (r4s4)
 ]
 
 

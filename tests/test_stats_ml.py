@@ -179,3 +179,77 @@ def test_bfs_matches_python_bfs(spark, sf_smoke):
         int(r["hop"]): (int(r["n_nodes"]), int(r["sum_ids"])) for _, r in got.iterrows()
     }
     assert got_map == {h: tuple(v) for h, v in exp.items()}
+
+
+def test_item_item_cosine_matches_pandas(spark, sf_smoke):
+    got = QUERIES["item_item_cosine_topk"](spark, sf_smoke).toPandas()
+    li = _pdf(sf_smoke, "lineitem")
+    li = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")]
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    supp = op.groupby("l_partkey").size().to_dict()
+    co: collections.Counter = collections.Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey)
+        for ii, x in enumerate(parts):
+            for y in parts[ii + 1 :]:
+                co[(x, y)] += 1
+    rows = []
+    for (i, j), c in co.items():
+        for a, b in ((i, j), (j, i)):
+            if supp[a] >= 5 and supp[b] >= 5 and c >= 2:
+                rows.append(
+                    (a, b, c, round(c / math.sqrt(supp[a] * supp[b]), 6))
+                )
+    exp = {}
+    by_item: dict[int, list] = collections.defaultdict(list)
+    for a, b, c, cos in rows:
+        by_item[a].append((-cos, b, c))
+    for a, lst in by_item.items():
+        for rk, (negcos, b, c) in enumerate(sorted(lst)[:3], start=1):
+            exp[(a, b)] = (c, -negcos, rk)
+    got_map = {
+        (int(r["item"]), int(r["neighbor"])): (
+            int(r["n_co"]),
+            round(float(r["cosine"]), 6),
+            int(r["rk"]),
+        )
+        for _, r in got.iterrows()
+    }
+    assert got_map == exp
+
+
+def test_poisson_bootstrap_matches_hashlib(spark, sf_smoke):
+    import hashlib
+
+    got = QUERIES["poisson_bootstrap_ci"](spark, sf_smoke).toPandas().iloc[0]
+    orders = _pdf(sf_smoke, "orders")
+    from traderjoe_etl_spark.queries.stats_ml_ops import (
+        _B,
+        _CHUNKS,
+        _GROUPS,
+        _POIS_HEX16,
+    )
+
+    sw = [0] * _B
+    swx = [0.0] * _B
+    for key, x in zip(orders.o_orderkey.values, orders.o_totalprice.values):
+        for g in range(_GROUPS):
+            hh = hashlib.md5(f"boot:{g}:{key}".encode()).hexdigest()
+            for c in range(_CHUNKS):
+                h = hh[c * 4 : c * 4 + 4]
+                w = 8
+                for k, hx in enumerate(_POIS_HEX16):
+                    if h < hx:
+                        w = k
+                        break
+                r = g * _CHUNKS + c
+                sw[r] += w
+                swx[r] += w * x
+    means = sorted(round(swx[r] / sw[r], 4) for r in range(_B))
+    assert int(got.n_rows) == len(orders)
+    assert abs(float(got.point_mean) - round(orders.o_totalprice.mean(), 4)) < 1e-6
+    assert abs(float(got.boot_mean) - round(sum(means) / len(means), 4)) < 1e-3
+    assert float(got.ci_lo) == means[1]
+    assert float(got.ci_hi) == means[_B - 2]
+    # the bootstrap CI should bracket the point estimate
+    assert float(got.ci_lo) <= float(got.point_mean) <= float(got.ci_hi)

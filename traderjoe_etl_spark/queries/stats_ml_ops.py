@@ -537,3 +537,265 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (co-occurrence cosine top-k)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "item_item_cosine_topk",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    supp AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+    co AS (
+        SELECT x.p AS i, y.p AS j, CAST(count(*) AS BIGINT) AS c
+        FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+        GROUP BY x.p, y.p
+    ),
+    sym AS (
+        SELECT i, j, c FROM co
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM co
+    ),
+    scored AS (
+        SELECT s.i AS item, s.j AS neighbor, s.c AS n_co,
+               round(CAST(s.c AS DOUBLE) / sqrt(CAST(si.n AS DOUBLE) * sj.n), 6) AS cosine
+        FROM sym s
+        JOIN supp si ON si.p = s.i
+        JOIN supp sj ON sj.p = s.j
+        WHERE si.n >= 5 AND sj.n >= 5 AND s.c >= 2
+    ),
+    ranked AS (
+        SELECT item, neighbor, n_co, cosine,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cosine DESC, neighbor ASC) AS rk
+        FROM scored
+    )
+    SELECT item, neighbor, n_co, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering on the order/part bipartite graph:
+    cosine(i, j) = |orders with both| / sqrt(|orders with i| · |orders with
+    j|), top-3 neighbors per item (support floors n ≥ 5, co-count ≥ 2) —
+    the classic Amazon-style recommender precompute.
+
+    Scale shape: co-occurrence pairs come from the per-order self-join
+    (fan-out bounded by order SIZE, ~7 lines — never |items|²), partial-
+    aggregated into (i, j) counts; supports are one map-combinable groupBy.
+    The per-item ranking window is PARTITIONED BY item — bounded by an
+    item's co-occurrence fan-out, never global.  The only floats are
+    c/sqrt(n_i·n_j) — one division of exact integers, bit-identical across
+    engines, rounded to 6 dp with neighbor-id tie-break so the top-3 cut is
+    replayable.  Degenerate hot items (an item co-bought with everything)
+    are exactly the AQE-skew-splittable shuffle case; the c ≥ 2 floor also
+    prunes the long random-pair tail before the window."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    supp = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    x, y = op.alias("x"), op.alias("y")
+    co = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("i"), F.col("y.p").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sym = co.unionAll(co.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+    si, sj = supp.alias("si"), supp.alias("sj")
+    scored = (
+        sym.join(si, F.col("si.p") == F.col("i"))
+        .join(sj, F.col("sj.p") == F.col("j"))
+        .filter((F.col("si.n") >= 5) & (F.col("sj.n") >= 5) & (F.col("c") >= 2))
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("c").alias("n_co"),
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("si.n").cast("double") * F.col("sj.n")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("item", "neighbor", "n_co", "cosine", "rk")
+        .orderBy("item", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (single-pass, hash-deterministic)
+# --------------------------------------------------------------------------
+
+# Cumulative Poisson(1) thresholds quantized to 16 bits, as 4-hex-char
+# bucket keys (floor(P(X<=k) * 2^16), lowercase hex): a weight is assigned
+# by STRING comparison of a 4-char md5 chunk against these literals — the
+# same no-hex-to-int-conversion trick as dsir_importance_resample.  At
+# 16-bit resolution P(X<=7) and P(X<=8) both quantize to 'ffff', so weights
+# are 0..7 with w=8 for the residual 1/65536 mass (true tail P(X>=8) is
+# 1.02e-5; the quantization bias is ~5e-6 — far below the CI width, and
+# IDENTICAL in both engines, which is what parity needs).
+_POIS_HEX16 = ["5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9", "fffa", "ffff"]
+_B = 64           # bootstrap replicates
+_CHUNKS = 8       # replicates derived per md5 (8 x 4 hex chars = 32)
+_GROUPS = _B // _CHUNKS
+
+_W_SQL = "CASE " + " ".join(
+    f"WHEN h < '{hx}' THEN {k}" for k, hx in enumerate(_POIS_HEX16)
+) + " ELSE 8 END"
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH groups AS (SELECT CAST(range AS INT) AS g FROM range(0, {_GROUPS})),
+    chunks AS (SELECT CAST(range AS INT) AS c FROM range(0, {_CHUNKS})),
+    hashed AS (
+        SELECT groups.g, o.o_totalprice AS x,
+               md5('boot:' || CAST(groups.g AS VARCHAR) || ':'
+                   || CAST(o.o_orderkey AS VARCHAR)) AS hh
+        FROM orders o CROSS JOIN groups
+    ),
+    sliced AS (
+        SELECT g * {_CHUNKS} + c AS r, x,
+               substr(hh, 1 + c * 4, 4) AS h
+        FROM hashed CROSS JOIN chunks
+    ),
+    weighted AS (SELECT r, x, {_W_SQL} AS w FROM sliced),
+    means AS (
+        SELECT r, round(sum(w * x) / sum(w), 4) AS m
+        FROM weighted GROUP BY r
+    ),
+    point AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(o_totalprice), 4) AS point_mean
+        FROM orders
+    ),
+    boot AS (
+        SELECT round(avg(m), 4) AS boot_mean,
+               round(stddev_samp(m), 4) AS boot_se,
+               list_sort(list(m)) AS ms
+        FROM means
+    )
+    SELECT point.n_rows, point.point_mean, boot.boot_mean, boot.boot_se,
+           boot.ms[2] AS ci_lo, boot.ms[{_B - 1}] AS ci_hi
+    FROM point, boot
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean(o_totalprice) via the POISSON
+    bootstrap: each of 64 replicates reweights every row by a
+    Poisson(1)-distributed weight derived from a keyed md5 — the
+    single-pass, shuffle-free way to bootstrap at 100 TB (classical
+    resampling needs B materialized copies; this needs B conditional sums).
+
+    Scale shape: one corpus scan fanned out map-side with NO data shuffle.
+    Two measured design points at sf10 drove the form: (a) hash-per-
+    replicate (64 md5/row) cost 30.6 s — each 128-bit md5 is instead
+    sliced into eight 4-hex-char chunks = 8 replicates per hash; (b) even
+    with 8x fewer hashes, EXPLODING to |rows|x64 weight rows cost ~27 s of
+    pure row materialization (the md5s themselves are ~4 s) — so the 8
+    chunk weights are folded into 16 conditional aggregates per hash group
+    (sum(w_c*x), sum(w_c) for c in 0..7): the 960M weight evaluations
+    happen inside ONE codegen aggregate over the 120M hashed rows, and the
+    per-replicate relation first EXISTS as the 8-row groupBy(g) output,
+    unpivoted by stack() into the 64 (r, m) means.  The chunk substrings
+    are pre-projected once per row — a when/otherwise chain splices its
+    condition into every CASE arm (no cross-arm CSE), which re-sliced the
+    hash up to 128x per row in the naive form (measured 24.7 -> 14.8 s
+    fresh-cold at sf10).  Weights come from string-comparing each chunk
+    against the 8 cumulative-Poisson bucket literals (string order ==
+    numeric order on fixed-width lowercase hex).
+
+    Determinism: weights are small integers from identical hashes; each
+    replicate mean is rounded to 4 dp on both sides BEFORE the order
+    statistics, so the CI rank picks (2nd / 63rd of the 64 sorted means ~
+    2.5/97.5 pct) are replayable across engines.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    groups = spark.range(0, _GROUPS).select(F.col("id").cast("int").alias("g"))
+    hashed = orders.crossJoin(F.broadcast(groups)).select(
+        "g",
+        F.col("o_totalprice").alias("x"),
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("g").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("hh"),
+    )
+
+    # Pre-project the 8 chunk substrings ONCE per row: a when/otherwise
+    # chain splices its condition expression into EVERY branch (no CSE
+    # across CASE arms — see functions/pyrepr.py), so referencing the
+    # substring directly would re-slice the hash up to 8x per comparison
+    # x 16 aggregates.  CollapseProject keeps a non-cheap alias referenced
+    # >1x as one evaluation (plan-pinned for text_profile).
+    chunked = hashed.select(
+        "g",
+        "x",
+        *[
+            F.substring(F.col("hh"), 1 + 4 * c, 4).alias(f"h{c}")
+            for c in range(_CHUNKS)
+        ],
+    )
+
+    def _w(c: int):
+        w = F.lit(8)
+        for k, hx in reversed(list(enumerate(_POIS_HEX16))):
+            w = F.when(F.col(f"h{c}") < hx, F.lit(k)).otherwise(w)
+        return w
+
+    aggs = []
+    for c in range(_CHUNKS):
+        w = _w(c)
+        aggs.append(F.sum(w * F.col("x")).alias(f"wx{c}"))
+        aggs.append(F.sum(w).alias(f"w{c}"))
+    per_g = chunked.groupBy("g").agg(*aggs)
+    stack_args = ", ".join(f"{c}, wx{c}, w{c}" for c in range(_CHUNKS))
+    means = per_g.select(
+        "g", F.expr(f"stack({_CHUNKS}, {stack_args}) AS (c, wx, w)")
+    ).select(
+        (F.col("g") * _CHUNKS + F.col("c")).alias("r"),
+        F.round(F.col("wx") / F.col("w"), 4).alias("m"),
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.avg("o_totalprice"), 4).alias("point_mean"),
+    )
+    boot = means.agg(
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+        F.sort_array(F.collect_list("m")).alias("ms"),
+    )
+    return (
+        point.crossJoin(F.broadcast(boot))
+        .select(
+            "n_rows",
+            "point_mean",
+            "boot_mean",
+            "boot_se",
+            F.element_at("ms", 2).alias("ci_lo"),
+            F.element_at("ms", _B - 1).alias("ci_hi"),
+        )
+    )
