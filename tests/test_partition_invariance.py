@@ -66,6 +66,7 @@ CASES = [
     "bfs_hop_distance",              # frontier iteration, integer-exact (r4s4)
     "item_item_cosine_topk",         # integer co-counts, rounded cosine rank (r4s4)
     "poisson_bootstrap_ci",          # hash weights, rounded replicate means (r4s4)
+    "pareto_frontier_parts",         # integer skyline via prefix scan (r4s4)
 ]
 
 

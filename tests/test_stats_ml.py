@@ -253,3 +253,60 @@ def test_poisson_bootstrap_matches_hashlib(spark, sf_smoke):
     assert float(got.ci_hi) == means[_B - 2]
     # the bootstrap CI should bracket the point estimate
     assert float(got.ci_lo) <= float(got.point_mean) <= float(got.ci_hi)
+
+
+def test_global_running_agg_matches_pandas(spark):
+    from traderjoe_etl_spark.operators.prefix import global_running_agg
+
+    pdf = pd.DataFrame(
+        {"k": np.arange(1000)[::-1], "x": (np.arange(1000) * 7919) % 101}
+    )
+    df = spark.createDataFrame(pdf).repartition(13)
+    got = (
+        global_running_agg(
+            df,
+            "k",
+            {"rs": ("x", "sum"), "rmin": ("x", "min"), "rmax": ("x", "max")},
+            n_parts=7,
+        )
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ordered = pdf.sort_values("k").reset_index(drop=True)
+    assert list(got.rs) == list(ordered.x.cumsum())
+    assert list(got.rmin) == list(ordered.x.cummin())
+    assert list(got.rmax) == list(ordered.x.cummax())
+    # exclusive prefix: first row NULL, rest shifted
+    got_ex = (
+        global_running_agg(df, "k", {"rs": ("x", "sum")}, inclusive=False, n_parts=7)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(got_ex.rs.iloc[0])
+    assert list(got_ex.rs.iloc[1:]) == list(ordered.x.cumsum().iloc[:-1])
+
+
+def test_pareto_frontier_matches_pandas(spark, sf_smoke):
+    got = QUERIES["pareto_frontier_parts"](spark, sf_smoke).toPandas()
+    part = _pdf(sf_smoke, "part")
+    li = _pdf(sf_smoke, "lineitem")
+    vol = li.groupby("l_partkey")["l_quantity"].sum().round().astype("int64")
+    pts = part.assign(cost_cents=(part.p_retailprice * 100).round().astype("int64"))
+    pts = pts.merge(vol.rename("vol"), left_on="p_partkey", right_index=True)
+    keep = []
+    for _, a in pts.iterrows():
+        dominated = (
+            (pts.cost_cents <= a.cost_cents)
+            & (pts.vol >= a.vol)
+            & ((pts.cost_cents < a.cost_cents) | (pts.vol > a.vol))
+        ).any()
+        if not dominated:
+            keep.append((a.p_partkey, a.cost_cents, a.vol))
+    exp = sorted(keep, key=lambda t: (t[1], t[0]))
+    got_rows = [
+        (int(r.p_partkey), int(r.cost_cents), int(r.vol)) for r in got.itertuples()
+    ]
+    assert got_rows == exp
+    assert len(exp) >= 1  # the frontier is never empty

@@ -102,8 +102,12 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
        back broadcast.
     F_a = (offset_a + prefix_a)/na is then exact integer arithmetic divided
     once per row — bit-identical across engines, so ks_d needs no rounding
-    slack (rounded to 6 dp anyway for the contract).
+    slack (rounded to 6 dp anyway for the contract).  The prefix scan is
+    the shared operators/prefix.global_running_agg (factored out for the
+    skyline family; this plan's shape stays pinned in test_plan_shapes).
     """
+    from ..operators.prefix import global_running_agg
+
     orders = _t(spark, sf_dir, "orders")
     pts = orders.filter(F.col("o_orderpriority").isin(_KS_A, _KS_B)).select(
         F.col("o_totalprice").alias("v"),
@@ -113,33 +117,14 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = pts.groupBy("v").agg(
         F.sum("ia").cast("long").alias("ca"), F.sum("ib").cast("long").alias("cb")
     )
-    ranged = agg.repartitionByRange(32, "v").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_in = Window.partitionBy("pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = ranged.select(
-        "pid",
-        F.sum("ca").over(w_in).alias("pa"),
-        F.sum("cb").over(w_in).alias("pb"),
-    )
-    totals = ranged.groupBy("pid").agg(
-        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
-    )
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "pid",
-        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
-        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
-    )
+    cum = global_running_agg(agg, "v", {"fa": ("ca", "sum"), "fb": ("cb", "sum")})
     n = agg.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    ecdf = cum.join(F.broadcast(offsets), "pid").crossJoin(F.broadcast(n))
+    ecdf = cum.crossJoin(F.broadcast(n))
     diff = F.abs(
-        (F.col("oa") + F.col("pa")).cast("double") / F.col("na")
-        - (F.col("ob") + F.col("pb")).cast("double") / F.col("nb")
+        F.col("fa").cast("double") / F.col("na")
+        - F.col("fb").cast("double") / F.col("nb")
     )
     return ecdf.groupBy("na", "nb").agg(F.max(diff).alias("d")).select(
         F.col("na").alias("n_a"),
@@ -798,4 +783,80 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("ms", 2).alias("ci_lo"),
             F.element_at("ms", _B - 1).alias("ci_hi"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 2D Pareto frontier (skyline) via the distributed prefix scan
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey AS pk, CAST(round(sum(l_quantity)) AS BIGINT) AS vol
+        FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+        SELECT p.p_partkey, CAST(round(p.p_retailprice * 100) AS BIGINT) AS cost_cents,
+               pv.vol
+        FROM part p JOIN pv ON pv.pk = p.p_partkey
+    )
+    SELECT a.p_partkey, a.cost_cents, a.vol
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.cost_cents <= a.cost_cents AND b.vol >= a.vol
+          AND (b.cost_cents < a.cost_cents OR b.vol > a.vol)
+    )
+    ORDER BY a.cost_cents, a.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier (skyline) of parts on (retail cost ↓ better,
+    shipped volume ↑ better): the parts no other part beats on both axes —
+    the classic multi-criteria shortlist query.
+
+    The oracle is the O(n²) NOT EXISTS dominance test (fine at oracle
+    scale); the engine plan is the scalable O(n log n)-style form built on
+    operators/prefix.global_running_agg:
+    1. per-part (cost_cents, vol) — integer-exact (cents, rounded whole
+       quantities), one map-combinable agg each;
+    2. per-cost max volume (groupBy — within a cost tie only the max-volume
+       rows can survive);
+    3. EXCLUSIVE running max of those maxima over cost ascending — the
+       distributed prefix scan (range repartition + per-pid windows +
+       bounded offset join), never a global ORDER BY window;
+    4. a point survives iff vol == max-at-its-cost AND vol > running-max of
+       all strictly cheaper costs (NULL prefix = cheapest cost band).
+       Equal (cost, vol) duplicates all survive together — dominance
+       requires strictness in one axis — matching the oracle exactly.
+    Everything shuffles on cost or partkey (AQE-splittable); no windows
+    over data-sized partitions.
+    """
+    from ..operators.prefix import global_running_agg
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.sum("l_quantity")).cast("long").alias("vol")
+    )
+    pts = part.join(pv, part["p_partkey"] == pv["pk"]).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cost_cents"),
+        "vol",
+    )
+    maxv = pts.groupBy("cost_cents").agg(F.max("vol").alias("mv"))
+    pref = global_running_agg(
+        maxv, "cost_cents", {"pmax": ("mv", "max")}, inclusive=False
+    )
+    return (
+        pts.join(pref, "cost_cents")
+        .filter(
+            (F.col("vol") == F.col("mv"))
+            & (F.col("pmax").isNull() | (F.col("vol") > F.col("pmax")))
+        )
+        .select("p_partkey", "cost_cents", "vol")
+        .orderBy("cost_cents", "p_partkey")
     )
