@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..session import apply_runtime_confs
 from ..sources.tables import read_table
@@ -116,7 +117,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # DISK_ONLY: corpus-scale edge sets held deserialized on-heap
+        # GC-kill the sf100 audit JVM (pagerank-edges rule)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -139,7 +142,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (
         e1.join(
@@ -240,7 +243,9 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ge = (
         e.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("d")))
-        .localCheckpoint(eager=False)
+        # DISK_ONLY: ge is 2x the edge set, consumed by the seed-degree agg
+        # and every BFS round (pagerank-edges rule at sf100)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     seed_row = (
         ge.groupBy(F.col("s").alias("n"))

@@ -27,7 +27,8 @@ Scale notes that shape every query here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from ..session import apply_runtime_confs
@@ -241,24 +242,21 @@ _NB_TOPV = 512
                                                 w -> w <> '')) AS term
         FROM documents
     ),
-    tf AS (
-        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS cnt
-        FROM tok GROUP BY 1, 2, 3
+    ctc_all AS (
+        SELECT lang AS cls, term, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
     ),
     vocab AS (
         SELECT term FROM (
-            SELECT term, sum(cnt) AS total FROM tf GROUP BY term
+            SELECT term, sum(c) AS total FROM ctc_all GROUP BY term
             ORDER BY total DESC, term ASC LIMIT {_NB_TOPV}
         )
     ),
     vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-    classes AS (SELECT lang AS cls, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
-                FROM tf GROUP BY lang),
+    classes AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ndocs
+                FROM documents GROUP BY lang),
     ntot AS (SELECT CAST(sum(ndocs) AS BIGINT) AS n FROM classes),
-    ctc AS (
-        SELECT tf.lang AS cls, tf.term, sum(tf.cnt) AS c
-        FROM tf JOIN vocab USING (term) GROUP BY 1, 2
-    ),
+    ctc AS (SELECT cls, term, c FROM ctc_all JOIN vocab USING (term)),
     tokc AS (SELECT cls, sum(c) AS tc FROM ctc GROUP BY cls),
     lp AS (
         SELECT g.cls, g.term,
@@ -267,6 +265,10 @@ _NB_TOPV = 512
         LEFT JOIN ctc ON ctc.cls = g.cls AND ctc.term = g.term
         JOIN tokc ON tokc.cls = g.cls
         CROSS JOIN vsize
+    ),
+    tf AS (
+        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2, 3
     ),
     scores AS (
         SELECT tf.doc_id, tf.lang AS actual, lp.cls,
@@ -296,13 +298,20 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion matrix (actual, predicted, n).  The whole train+score cycle is
     one declarative plan — no driver-side model object.
 
-    Scale shape: the only corpus-scale relations are tok/tf (one explode +
-    one map-side-combinable groupBy).  The model is broadcast-sized by
-    construction — vocab is capped to the top-{_NB_TOPV} terms
-    (TakeOrderedAndProject, never a global rank window), so log-probs are
-    |vocab|×|classes| rows and scoring is a broadcast join back onto tf
-    followed by a per-(doc, class) partial-aggregated sum.  The per-doc
-    argmax window is bounded by |classes|.
+    Scale shape — two independent tokenize passes, ZERO corpus-scale
+    checkpoints (the tfidf lesson: a corpus-scale cache write + N reads
+    loses to re-running an embarrassingly-parallel scan; the checkpointed
+    form's 200M-row tf cache GC-killed the sf100 audit JVM, and its
+    DISK_ONLY fix still cost 224 s — this form is the one that scales):
+    1. TRAIN pass: tok → groupBy(lang, term) — map-side combinable straight
+       to |langs|x|vocab| rows; vocab = top-{_NB_TOPV} cut
+       (TakeOrderedAndProject, never a global rank window); class priors
+       come from `documents` directly (one count per lang).  The model
+       (log-probs + priors) is broadcast-sized by construction.
+    2. SCORE pass: tok → groupBy(doc, lang, term) (the only other
+       corpus-scale shuffle), broadcast-joined to the model, partial-
+       aggregated per (doc, class); the per-doc argmax window is bounded
+       by |classes|.
 
     Oracle parity: scores are double log-sums (order-dependent at ~1e-13);
     the argmax ranks on round(score, 6) with the class name as tie-break,
@@ -323,28 +332,22 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
         ).alias("term"),
     )
-    tf = (
-        tok.groupBy("doc_id", "lang", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)
+    ctc_all = tok.groupBy(F.col("lang").alias("cls"), "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     vocab = (
-        tf.groupBy("term")
-        .agg(F.sum("cnt").alias("total"))
+        ctc_all.groupBy("term")
+        .agg(F.sum("c").alias("total"))
         .orderBy(F.col("total").desc(), F.col("term").asc())
         .limit(_NB_TOPV)
         .select("term")
     )
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
-    classes = tf.groupBy(F.col("lang").alias("cls")).agg(
-        F.countDistinct("doc_id").cast("long").alias("ndocs")
+    classes = docs.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("ndocs")
     )
     ntot = classes.agg(F.sum("ndocs").cast("long").alias("n"))
-    ctc = (
-        tf.join(F.broadcast(vocab), "term")
-        .groupBy(F.col("lang").alias("cls"), "term")
-        .agg(F.sum("cnt").alias("c"))
-    )
+    ctc = ctc_all.join(F.broadcast(vocab), "term")
     tokc = ctc.groupBy("cls").agg(F.sum("c").alias("tc"))
     grid = classes.select("cls").crossJoin(vocab)
     lp = (
@@ -362,6 +365,9 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prior = classes.crossJoin(F.broadcast(ntot)).select(
         "cls", F.log(F.col("ndocs").cast("double") / F.col("n")).alias("logprior")
+    )
+    tf = tok.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     scores = (
         tf.join(F.broadcast(lp), "term")
@@ -392,6 +398,61 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fail every doc — 'the' is the only one the generator emits).
 _STOPS = ("the", "a", "and", "of", "to", "data", "value", "row")
 _STOP_SQL = ", ".join(f"'{s}'" for s in _STOPS)
+
+
+def gopher_doc_flags(docs: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Per-document Gopher rule flags (0 = pass, 1 = fail) over a `text`
+    column — the shared rule kernel used by the batch gopher_quality_rules
+    report and the streaming quality-quarantine router.  Map-only: split
+    once, translate-based char-class counts, literal-array stopword
+    membership; no regexp_replace copies, no UDFs, no windows."""
+    keep = list(keep or docs.columns)
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    nchars = F.length(F.translate(F.col("text"), " \t\n\r", ""))
+    # '...' is removed non-overlapping, so the length delta is always a
+    # multiple of 3 — the integer division is exact in both engines.
+    symbols = F.expr(
+        "length(text) - length(translate(text, '#', '')) "
+        "+ (length(text) - length(replace(text, '...', ''))) div 3"
+    )
+    feat = docs.select(
+        *keep,
+        words.alias("words"),
+        nchars.alias("nchars"),
+        symbols.cast("long").alias("symbols"),
+    )
+    wc = F.size(F.col("words"))
+    alpha_words = F.size(
+        F.filter(
+            F.col("words"),
+            lambda w: F.length(
+                F.translate(F.lower(w), "abcdefghijklmnopqrstuvwxyz", "")
+            )
+            < F.length(w),
+        )
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPS]),
+            lambda s: F.array_contains(F.col("words"), s),
+        )
+    )
+
+    def zero_one(cond) -> Column:
+        return F.when(cond, 0).otherwise(1)
+
+    return feat.select(
+        *keep,
+        wc.cast("long").alias("wc"),
+        zero_one((wc >= 50) & (wc <= 100000)).alias("f_wc"),
+        zero_one(
+            (F.col("nchars").cast("double") / wc >= 3)
+            & (F.col("nchars").cast("double") / wc <= 10)
+        ).alias("f_mwl"),
+        zero_one(F.col("symbols").cast("double") / wc <= 0.1).alias("f_sym"),
+        zero_one(alpha_words.cast("double") / wc >= 0.8).alias("f_alpha"),
+        zero_one(stop_hits >= 2).alias("f_stop"),
+    )
 
 
 @query(
@@ -458,49 +519,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so they would be constants (documented, not hidden).
     """
     docs = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
-    nchars = F.length(F.translate(F.col("text"), " \t\n\r", ""))
-    # '...' is removed non-overlapping, so the length delta is always a
-    # multiple of 3 — the integer division is exact in both engines.
-    symbols = F.expr(
-        "length(text) - length(translate(text, '#', '')) "
-        "+ (length(text) - length(replace(text, '...', ''))) div 3"
-    )
-    feat = docs.select(
-        "source",
-        words.alias("words"),
-        nchars.alias("nchars"),
-        symbols.cast("long").alias("symbols"),
-    )
-    wc = F.size(F.col("words"))
-    alpha_words = F.size(
-        F.filter(
-            F.col("words"),
-            lambda w: F.length(
-                F.translate(F.lower(w), "abcdefghijklmnopqrstuvwxyz", "")
-            )
-            < F.length(w),
-        )
-    )
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in _STOPS]),
-            lambda s: F.array_contains(F.col("words"), s),
-        )
-    )
-    zero_one = lambda cond: F.when(cond, 0).otherwise(1)  # noqa: E731
-    rules = feat.select(
-        "source",
-        wc.cast("long").alias("wc"),
-        zero_one((wc >= 50) & (wc <= 100000)).alias("f_wc"),
-        zero_one(
-            (F.col("nchars").cast("double") / wc >= 3)
-            & (F.col("nchars").cast("double") / wc <= 10)
-        ).alias("f_mwl"),
-        zero_one(F.col("symbols").cast("double") / wc <= 0.1).alias("f_sym"),
-        zero_one(alpha_words.cast("double") / wc >= 0.8).alias("f_alpha"),
-        zero_one(stop_hits >= 2).alias("f_stop"),
-    )
+    rules = gopher_doc_flags(docs, keep=["source"])
     return (
         rules.groupBy("source")
         .agg(
@@ -591,7 +610,10 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # DISK_ONLY: op is |order,part| rows consumed 3x (supports + both
+        # self-join sides); the default deserialized on-heap level GC-kills
+        # the driver JVM at sf100 (observed) - the pagerank-edges rule.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     supp = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
     x, y = op.alias("x"), op.alias("y")
