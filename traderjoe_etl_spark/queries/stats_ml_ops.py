@@ -319,6 +319,11 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-12 of the same 1e-6 grid line — the same margin contract as
     logreg_quality_gate.  The emitted columns are integer counts only.
 
+    Membership contract: a document is classified iff it has at least one
+    in-vocab term (the tf x model join is inner on term) — OOV-only or
+    empty docs are out of the confusion matrix, identically in the oracle
+    and the numpy twin.
+
     On this synthetic corpus every lang shares one vocabulary, so the
     posterior is near-uniform and accuracy is near-chance — the gate proves
     the arithmetic (priors, smoothing, log-likelihoods, argmax), not model
@@ -405,7 +410,12 @@ def gopher_doc_flags(docs: DataFrame, keep: list[str] | None = None) -> DataFram
     column — the shared rule kernel used by the batch gopher_quality_rules
     report and the streaming quality-quarantine router.  Map-only: split
     once, translate-based char-class counts, literal-array stopword
-    membership; no regexp_replace copies, no UDFs, no windows."""
+    membership; no regexp_replace copies, no UDFs, no windows.
+
+    Contracts: "alphabetic" means ASCII a-z by design (the corpus is
+    lang-id'd ASCII; a unicode-alpha rule would need a regexp per word);
+    an empty/whitespace-only doc has NULL ratios, so every comparison is
+    false and ALL rules fail — the conservative quarantine default."""
     keep = list(keep or docs.columns)
     words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
     nchars = F.length(F.translate(F.col("text"), " \t\n\r", ""))
@@ -602,24 +612,18 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable.  Degenerate hot items (an item co-bought with everything)
     are exactly the AQE-skew-splittable shuffle case; the c ≥ 2 floor also
     prunes the long random-pair tail before the window."""
-    li = _t(spark, sf_dir, "lineitem")
-    op = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
-        # DISK_ONLY: op is |order,part| rows consumed 3x (supports + both
-        # self-join sides); the default deserialized on-heap level GC-kills
-        # the driver JVM at sf100 (observed) - the pagerank-edges rule.
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    from .graph_ops import co_purchase_op, co_purchase_pairs
+
+    # DISK_ONLY: op is |order,part| rows consumed 3x (supports + both
+    # self-join sides); the default deserialized on-heap level GC-kills
+    # the driver JVM at sf100 (observed) - the pagerank-edges rule.
+    op = co_purchase_op(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     supp = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    x, y = op.alias("x"), op.alias("y")
     co = (
-        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("i"), F.col("y.p").alias("j"))
+        co_purchase_pairs(op)
+        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     sym = co.unionAll(co.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))

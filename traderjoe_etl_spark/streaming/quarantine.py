@@ -46,16 +46,22 @@ def route_batch(batch_df: DataFrame, epoch_id: int, clean_path: str, quarantine_
             lambda s: s.isNotNull(),
         ),
     )
-    routed = flags.withColumn("failed_rules", fail_list)
-    keep_cols = [c for c in batch_df.columns] + ["wc"]
-    clean = routed.filter(F.col("failed_rules") == "").select(*keep_cols)
-    quarantined = routed.filter(F.col("failed_rules") != "").select(
-        *keep_cols, "failed_rules"
-    )
-    clean.write.mode("overwrite").parquet(f"{clean_path}/epoch={epoch_id}")
-    quarantined.write.mode("overwrite").parquet(
-        f"{quarantine_path}/epoch={epoch_id}"
-    )
+    # persist: the clean and quarantine writes are two actions over the
+    # same plan — without it every micro-batch is re-scanned and re-scored
+    # twice on the streaming hot path
+    routed = flags.withColumn("failed_rules", fail_list).persist()
+    try:
+        keep_cols = [c for c in batch_df.columns] + ["wc"]
+        clean = routed.filter(F.col("failed_rules") == "").select(*keep_cols)
+        quarantined = routed.filter(F.col("failed_rules") != "").select(
+            *keep_cols, "failed_rules"
+        )
+        clean.write.mode("overwrite").parquet(f"{clean_path}/epoch={epoch_id}")
+        quarantined.write.mode("overwrite").parquet(
+            f"{quarantine_path}/epoch={epoch_id}"
+        )
+    finally:
+        routed.unpersist()
 
 
 def quarantine_sink(
