@@ -70,6 +70,15 @@ HEADLINE = [
     "rolling_hash_fingerprints",
     "snapshot_pipeline",
     "ivf_cosine_topk",
+    # r4s4: one flagship each for the curation-rules, resampling-stats and
+    # recommendation families added this round (same twin protocol).
+    # ks_two_sample is deliberately NOT here: its boundary-pinning lazy
+    # checkpoint persists across re-executions, so the prepared-statement
+    # timer would see only the post-checkpoint work (the hidden-work rule
+    # that got minhash/simhash rewritten in r3).
+    "gopher_quality_rules",
+    "poisson_bootstrap_ci",
+    "item_item_cosine_topk",
 ]
 
 # Twins excluded from the throughput comparison (none currently: since the
