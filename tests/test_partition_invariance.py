@@ -67,6 +67,8 @@ CASES = [
     "item_item_cosine_topk",         # integer co-counts, rounded cosine rank (r4s4)
     "poisson_bootstrap_ci",          # hash weights, rounded replicate means (r4s4)
     "pareto_frontier_parts",         # integer skyline via prefix scan (r4s4)
+    "label_propagation_communities", # deterministic-LPA integer rounds (r4s4)
+    "event_path_trigrams",           # unique-tie-break window trigrams (r4s4)
 ]
 
 

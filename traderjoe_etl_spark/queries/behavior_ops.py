@@ -398,3 +398,53 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_purchases"),
         )
     )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e3 IS NOT NULL
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path ASC LIMIT 10
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (event-type trigrams) across all
+    user event streams — the path-analysis companion to markov_transitions
+    (which models single steps): per user, consecutive event triples by
+    (ts, event_id) order, counted corpus-wide.
+
+    Scale shape: one window pass PARTITIONED BY user (bounded by a user's
+    event count — the natural sessionization key), two lead()s inside the
+    same window spec (one sort, not two), then a map-combinable path count;
+    the top-10 cut is TakeOrderedAndProject (per-partition heaps), never a
+    global rank window.  Ordering ties inside a user are broken by the
+    unique event_id, so the trigram multiset — and therefore the counts —
+    are partition- and engine-invariant."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
