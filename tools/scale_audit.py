@@ -51,6 +51,12 @@ def main() -> None:
             # eager localCheckpoints during construction (BFS, pagerank) —
             # timing only the final action hides it (a lazy plan's build is
             # sub-ms, so non-iterative numbers are unchanged)
+            # clearCache first: a prior query's un-released persist()
+            # (e.g. minhash band entries) can silently serve an identical
+            # subtree in a later query — ngram_jaccard once read 2.65s in
+            # an audit because minhash's cache was still warm; its honest
+            # standalone cost is candidates + verify (~28s).
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
