@@ -69,6 +69,9 @@ CASES = [
     "pareto_frontier_parts",         # integer skyline via prefix scan (r4s4)
     "label_propagation_communities", # deterministic-LPA integer rounds (r4s4)
     "event_path_trigrams",           # unique-tie-break window trigrams (r4s4)
+    "multi_touch_attribution",       # integer-cents U-shaped credits (r4s4)
+    "weighted_quantiles_price",      # integer weighted-quantile cuts (r4s4)
+    "gdpr_erase_audit",              # broadcast subject-cohort counts (r4s4)
 ]
 
 

@@ -448,3 +448,129 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS epoch
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, COALESCE(epoch, 0) AS epoch, cents AS conv_cents
+        FROM ordered WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT o.user_id, COALESCE(o.epoch, 0) AS epoch, o.event_type,
+               row_number() OVER (PARTITION BY o.user_id, COALESCE(o.epoch, 0)
+                                  ORDER BY o.ts, o.event_id) AS pos,
+               count(*) OVER (PARTITION BY o.user_id, COALESCE(o.epoch, 0)) AS n
+        FROM ordered o
+        WHERE o.event_type IN ('view', 'click', 'signup')
+    ),
+    credited AS (
+        SELECT t.event_type,
+               CASE
+                 WHEN t.n = 1 THEN c.conv_cents
+                 WHEN t.n = 2 AND t.pos = 1
+                      THEN c.conv_cents // 2 + c.conv_cents % 2
+                 WHEN t.n = 2 THEN c.conv_cents // 2
+                 WHEN t.pos = 1
+                      THEN (c.conv_cents * 2) // 5
+                         + (c.conv_cents
+                            - 2 * ((c.conv_cents * 2) // 5)
+                            - (t.n - 2) * ((c.conv_cents // 5) // (t.n - 2)))
+                 WHEN t.pos = t.n THEN (c.conv_cents * 2) // 5
+                 ELSE (c.conv_cents // 5) // (t.n - 2)
+               END AS credit
+        FROM touches t
+        JOIN conv c ON c.user_id = t.user_id AND c.epoch = t.epoch
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit) AS BIGINT) AS credited_cents
+    FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase's
+    value is credited to the view/click/signup touches since the user's
+    previous purchase — 40% first touch / 40% last / 20% split across the
+    middles (100% single-touch, 50/50 two-touch).  Integer-cents arithmetic
+    with every division-remainder assigned to the FIRST touch, so credits
+    sum exactly to the conversion value and both engines replay the same
+    splits (complements attribution_last_touch).
+
+    Scale shape: the conversion-epoch assignment is one per-user running
+    count window (bounded by a user's events — the natural key); touch
+    positions are windows over (user, epoch) — strictly smaller; the
+    credit expression is map-only CASE arithmetic and the rollup is a
+    map-combinable per-type sum.  The conv⋈touches join is an equi-join on
+    (user, epoch) — AQE-splittable, nothing corpus-scale is broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    w_epoch = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w_epoch
+            ),
+            F.lit(0),
+        ).alias("epoch"),
+    )
+    conv = ordered.filter(F.col("event_type") == "purchase").select(
+        "user_id", "epoch", F.col("cents").alias("conv_cents")
+    )
+    w_pos = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
+    w_grp = Window.partitionBy("user_id", "epoch")
+    touches = ordered.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        "user_id",
+        "epoch",
+        "event_type",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    )
+    c, n, pos = F.col("conv_cents"), F.col("n"), F.col("pos")
+    forty = (c * 2) / F.lit(5)
+    mid_each = (c / F.lit(5)).cast("long") / (n - 2)
+    credit = (
+        F.when(n == 1, c)
+        .when((n == 2) & (pos == 1), (c / 2).cast("long") + c % 2)
+        .when(n == 2, (c / 2).cast("long"))
+        .when(
+            pos == 1,
+            forty.cast("long")
+            + (
+                c
+                - 2 * forty.cast("long")
+                - (n - 2) * mid_each.cast("long")
+            ),
+        )
+        .when(pos == n, forty.cast("long"))
+        .otherwise(mid_each.cast("long"))
+    )
+    credited = touches.join(conv, ["user_id", "epoch"]).select(
+        "event_type", credit.alias("credit")
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit").cast("long").alias("credited_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -137,3 +137,91 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "gdpr_erase_audit",
+    oracle="""
+    WITH subjects AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN s.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS erased
+        FROM orders LEFT JOIN subjects s ON s.c_custkey = orders.o_custkey
+    ),
+    l AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN so.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS erased
+        FROM lineitem
+        LEFT JOIN (SELECT o_orderkey FROM orders JOIN subjects s ON s.c_custkey = o_custkey) so
+          ON so.o_orderkey = lineitem.l_orderkey
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST((SELECT count(*) FROM subjects) AS BIGINT) AS erased
+        FROM customer
+    )
+    SELECT 'customer' AS table_name, total, erased, total - erased AS remaining FROM c
+    UNION ALL
+    SELECT 'lineitem', total, erased, total - erased FROM l
+    UNION ALL
+    SELECT 'orders', total, erased, total - erased FROM o
+    ORDER BY table_name
+    """,
+)
+def gdpr_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for a deterministic subject
+    cohort (custkey ≡ 0 mod 97), count the rows each table would lose —
+    customers directly, orders via custkey, lineitems via the subjects'
+    orderkeys — the pre-flight report a GDPR erasure job emits before
+    rewriting, and the post-flight verification that remaining = total −
+    erased.
+
+    Scale shape: the subject relation is a filtered dimension scan
+    (broadcast-sized by definition of a deletion batch); orders take one
+    broadcast left-semi-style count; lineitem joins through the subjects'
+    orderkey set, which is |subject orders| — still broadcast-scale
+    relative to the fact table.  Every count is a map-combinable
+    conditional aggregate; nothing corpus-scale shuffles."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    subjects = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(subjects), subjects["c_custkey"] == orders["o_custkey"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(subjects["c_custkey"].isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("erased"),
+    )
+    subj_orders = orders.join(
+        F.broadcast(subjects), subjects["c_custkey"] == orders["o_custkey"]
+    ).select("o_orderkey")
+    l = li.join(
+        F.broadcast(subj_orders), subj_orders["o_orderkey"] == li["l_orderkey"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(subj_orders["o_orderkey"].isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("erased"),
+    )
+    n_subj = subjects.agg(F.count(F.lit(1)).cast("long").alias("erased"))
+    c = cust.agg(F.count(F.lit(1)).cast("long").alias("total")).crossJoin(
+        F.broadcast(n_subj)
+    )
+    rows = (
+        c.select(F.lit("customer").alias("table_name"), "total", "erased")
+        .unionAll(l.select(F.lit("lineitem").alias("table_name"), "total", "erased"))
+        .unionAll(o.select(F.lit("orders").alias("table_name"), "total", "erased"))
+    )
+    return rows.select(
+        "table_name",
+        "total",
+        "erased",
+        (F.col("total") - F.col("erased")).alias("remaining"),
+    ).orderBy("table_name")

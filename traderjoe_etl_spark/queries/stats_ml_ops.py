@@ -886,3 +886,72 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "cost_cents", "vol")
         .orderBy("cost_cents", "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted quantiles via the distributed prefix scan
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_quantiles_price",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT price_cents, w,
+               sum(w) OVER (ORDER BY price_cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM agg
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM agg)
+    SELECT
+        (SELECT min(price_cents) FROM cum, tot WHERE cw * 4 >= tw) AS p25_cents,
+        (SELECT min(price_cents) FROM cum, tot WHERE cw * 2 >= tw) AS median_cents,
+        (SELECT min(price_cents) FROM cum, tot WHERE cw * 4 >= tw * 3) AS p75_cents,
+        tot.tw AS total_weight
+    FROM tot
+    """,
+)
+def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED price quantiles (p25 / median / p75 of
+    l_extendedprice, each unit of quantity counting once) — the
+    inventory-weighted distribution a pricing desk actually wants, which
+    percentile() over rows cannot express.
+
+    Scale shape — the third consumer of operators/prefix.global_running_agg:
+    per-price integer weights (map-combinable groupBy on cents), a
+    distributed running weight sum over price ascending (range repartition
+    + per-pid windows + bounded offset join — never a single-task global
+    window), then each quantile is one tiny filtered min: the k-th weighted
+    quantile is the smallest price whose cumulative weight reaches
+    ceil(k·W) — expressed as the integer cross-multiplication cw·4 ≥ tw
+    (no floating quantile thresholds anywhere, so the cut is engine-exact).
+    """
+    from ..operators.prefix import global_running_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents")
+    ).agg(F.round(F.sum("l_quantity")).cast("long").alias("w"))
+    cum = global_running_agg(agg, "price_cents", {"cw": ("w", "sum")})
+    tot = agg.agg(F.sum("w").cast("long").alias("tw"))
+    j = cum.crossJoin(F.broadcast(tot))
+    p25 = j.filter(F.col("cw") * 4 >= F.col("tw")).agg(
+        F.min("price_cents").alias("p25_cents")
+    )
+    med = j.filter(F.col("cw") * 2 >= F.col("tw")).agg(
+        F.min("price_cents").alias("median_cents")
+    )
+    p75 = j.filter(F.col("cw") * 4 >= F.col("tw") * 3).agg(
+        F.min("price_cents").alias("p75_cents")
+    )
+    return (
+        p25.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p75))
+        .crossJoin(F.broadcast(tot))
+        .select("p25_cents", "median_cents", "p75_cents", F.col("tw").alias("total_weight"))
+    )
