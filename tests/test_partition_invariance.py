@@ -72,6 +72,8 @@ CASES = [
     "multi_touch_attribution",       # integer-cents U-shaped credits (r4s4)
     "weighted_quantiles_price",      # integer weighted-quantile cuts (r4s4)
     "gdpr_erase_audit",              # broadcast subject-cohort counts (r4s4)
+    "cumulative_unique_users_daily", # first-seen prefix-sum growth curve (r4s4)
+    "share_of_parent_revenue",       # two-level integer-cents shares (r4s4)
 ]
 
 

@@ -574,3 +574,49 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cumulative_unique_users_daily",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily ORDER BY day
+    """,
+)
+def cumulative_unique_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-base growth curve: per day, the number of first-seen users and
+    the EXACT cumulative distinct-user count — computed without any
+    distinct-over-window (the naive count(DISTINCT user) OVER (ORDER BY
+    day) is unbounded state): a user contributes once, on their first-seen
+    day, so cumulative distinct = prefix sum of first-seen counts.
+
+    Scale shape: min-day per user (map-combinable groupBy on the natural
+    key), a calendar-bounded daily rollup, then the running sum via the
+    shared distributed prefix scan — bounded per range partition even if
+    the calendar ever weren't tiny.  Integer-exact throughout."""
+    from ..operators.prefix import global_running_agg
+
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    cum = global_running_agg(daily, "day", {"cum_users": ("new_users", "sum")})
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.col("cum_users").cast("long").alias("cum_users"),
+    ).orderBy("day")

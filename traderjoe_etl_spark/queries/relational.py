@@ -755,3 +755,73 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
     return out.select("l_returnflag", F.round("O", 2).alias("O"), F.round("F", 2).alias("F"))
+
+
+@query(
+    "share_of_parent_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents
+            FROM rev GROUP BY region),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev)
+    SELECT rev.region, rev.nation, rev.cents AS nation_cents,
+           round(CAST(rev.cents AS DOUBLE) / reg.region_cents, 6) AS share_of_region,
+           round(CAST(reg.region_cents AS DOUBLE) / tot.total_cents, 6) AS region_share_of_total
+    FROM rev JOIN reg USING (region), tot
+    ORDER BY rev.region, rev.nation
+    """,
+)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy report: each nation's share of its
+    region's revenue and each region's share of the total — the BI staple
+    that two-level-aggregates-plus-joins expresses without any window
+    (a PARTITION BY region window would also work here, but the join form
+    keeps every aggregate map-combinable and reuses the level-1 rollup for
+    both parents).
+
+    Scale shape: ONE fact-table aggregate (integer cents) at (region,
+    nation) grain — ~125 rows — then parent levels derive from it;
+    dimension joins are broadcast.  Shares are single divisions of exact
+    integers, rounded 6 dp on both sides."""
+    apply_runtime_confs(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .join(F.broadcast(nation), nation["n_nationkey"] == cust["c_nationkey"])
+        .join(F.broadcast(region), region["r_regionkey"] == nation["n_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    reg = rev.groupBy("region").agg(F.sum("cents").cast("long").alias("region_cents"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("cents").alias("nation_cents"),
+            F.round(F.col("cents").cast("double") / F.col("region_cents"), 6).alias(
+                "share_of_region"
+            ),
+            F.round(
+                F.col("region_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("region_share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
