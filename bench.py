@@ -71,14 +71,16 @@ HEADLINE = [
     "snapshot_pipeline",
     "ivf_cosine_topk",
     # r4s4: one flagship each for the curation-rules, resampling-stats and
-    # recommendation families added this round (same twin protocol).
-    # ks_two_sample is deliberately NOT here: its boundary-pinning lazy
-    # checkpoint persists across re-executions, so the prepared-statement
-    # timer would see only the post-checkpoint work (the hidden-work rule
-    # that got minhash/simhash rewritten in r3).
+    # attribution families added this round (same twin protocol).
+    # ks_two_sample, item_item_cosine_topk, pareto_frontier_parts and the
+    # prefix-scan family are deliberately NOT here: their lazy DISK_ONLY
+    # checkpoints persist across re-executions, so the prepared-statement
+    # timer would see only post-checkpoint work (the hidden-work rule that
+    # got minhash/simhash rewritten in r3). Eligibility rule: headline
+    # queries must be checkpoint-free lazy plans.
     "gopher_quality_rules",
     "poisson_bootstrap_ci",
-    "item_item_cosine_topk",
+    "multi_touch_attribution",
 ]
 
 # Twins excluded from the throughput comparison (none currently: since the

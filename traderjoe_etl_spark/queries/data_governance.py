@@ -178,21 +178,19 @@ def gdpr_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting, and the post-flight verification that remaining = total −
     erased.
 
-    Scale shape: the subject relation is a filtered dimension scan
-    (broadcast-sized by definition of a deletion batch); orders take one
-    broadcast left-semi-style count; lineitem joins through the subjects'
-    orderkey set, which is |subject orders| — still broadcast-scale
-    relative to the fact table.  Every count is a map-combinable
-    conditional aggregate; nothing corpus-scale shuffles."""
-    from ..session import apply_runtime_confs
-
+    Scale shape: the subject cohort here is a fixed FRACTION of customers
+    (mod-97), so neither it nor the subjects' orderkey set is
+    bounded-by-definition — the joins are plain equi-joins and AQE decides
+    broadcast vs shuffle from actual sizes (a forced broadcast would hit
+    the 8 GB cap on a 100-TB cohort).  Every count is a map-combinable
+    conditional aggregate."""
     apply_runtime_confs(spark)
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     subjects = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     o = orders.join(
-        F.broadcast(subjects), subjects["c_custkey"] == orders["o_custkey"], "left"
+        subjects, subjects["c_custkey"] == orders["o_custkey"], "left"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("total"),
         F.sum(F.when(subjects["c_custkey"].isNotNull(), 1).otherwise(0))
@@ -200,10 +198,10 @@ def gdpr_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("erased"),
     )
     subj_orders = orders.join(
-        F.broadcast(subjects), subjects["c_custkey"] == orders["o_custkey"]
+        subjects, subjects["c_custkey"] == orders["o_custkey"]
     ).select("o_orderkey")
     l = li.join(
-        F.broadcast(subj_orders), subj_orders["o_orderkey"] == li["l_orderkey"], "left"
+        subj_orders, subj_orders["o_orderkey"] == li["l_orderkey"], "left"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("total"),
         F.sum(F.when(subj_orders["o_orderkey"].isNotNull(), 1).otherwise(0))

@@ -940,18 +940,18 @@ def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_running_agg(agg, "price_cents", {"cw": ("w", "sum")})
     tot = agg.agg(F.sum("w").cast("long").alias("tw"))
     j = cum.crossJoin(F.broadcast(tot))
-    p25 = j.filter(F.col("cw") * 4 >= F.col("tw")).agg(
-        F.min("price_cents").alias("p25_cents")
-    )
-    med = j.filter(F.col("cw") * 2 >= F.col("tw")).agg(
-        F.min("price_cents").alias("median_cents")
-    )
-    p75 = j.filter(F.col("cw") * 4 >= F.col("tw") * 3).agg(
-        F.min("price_cents").alias("p75_cents")
-    )
-    return (
-        p25.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(p75))
-        .crossJoin(F.broadcast(tot))
-        .select("p25_cents", "median_cents", "p75_cents", F.col("tw").alias("total_weight"))
+    # one conditional aggregate — the three quantile cuts and the total in
+    # a single pass over the prefix-scan output (three filtered branches
+    # would re-run the post-checkpoint plan 3x)
+    return j.agg(
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("price_cents"))).alias(
+            "p25_cents"
+        ),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price_cents"))).alias(
+            "median_cents"
+        ),
+        F.min(
+            F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("price_cents"))
+        ).alias("p75_cents"),
+        F.max("tw").alias("total_weight"),
     )
