@@ -88,3 +88,16 @@ def test_quarantine_retry_is_idempotent(spark, tmp_path, sf_smoke):
     route_batch(docs, 7, clean_p, quar_p)
     assert spark.read.parquet(clean_p + "/epoch=*").count() == n_clean
     assert spark.read.parquet(quar_p + "/epoch=*").count() == n_quar
+
+
+def test_quarantine_empty_side_epoch_is_readable(spark, tmp_path):
+    """An all-fail micro-batch leaves the clean sink's epoch directory
+    empty of rows — it must still be written with schema so downstream
+    epoch=* reads don't break."""
+    docs = spark.createDataFrame(
+        [(i, "tiny doc", "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    route_batch(docs, 3, str(tmp_path / "clean"), str(tmp_path / "quar"))
+    assert spark.read.parquet(str(tmp_path / "clean") + "/epoch=*").count() == 0
+    assert spark.read.parquet(str(tmp_path / "quar") + "/epoch=*").count() == 5

@@ -326,3 +326,32 @@ def test_pareto_frontier_matches_pandas(spark, sf_smoke):
     ]
     assert got_rows == exp
     assert len(exp) >= 1  # the frontier is never empty
+
+
+def test_global_running_agg_edge_cases(spark):
+    from traderjoe_etl_spark.operators.prefix import global_running_agg
+
+    # empty input -> empty output with the running column present
+    empty = spark.createDataFrame([], "k int, x long")
+    out = global_running_agg(empty, "k", {"rs": ("x", "sum")})
+    assert out.columns == ["k", "x", "rs"]
+    assert out.count() == 0
+    # single row, inclusive and exclusive
+    one = spark.createDataFrame([(5, 7)], "k int, x long")
+    inc = global_running_agg(one, "k", {"rs": ("x", "sum")}).collect()[0]
+    assert inc.rs == 7
+    exc = global_running_agg(
+        one, "k", {"rs": ("x", "sum")}, inclusive=False
+    ).collect()[0]
+    assert exc.rs is None
+    # n_parts=1 degenerates to a single-partition scan, same results
+    pdf = pd.DataFrame({"k": range(50), "x": [i % 7 for i in range(50)]})
+    got = (
+        global_running_agg(
+            spark.createDataFrame(pdf).repartition(5), "k", {"rs": ("x", "sum")},
+            n_parts=1,
+        )
+        .toPandas()
+        .sort_values("k")
+    )
+    assert list(got.rs) == list(pdf.x.cumsum())
