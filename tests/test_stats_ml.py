@@ -355,3 +355,45 @@ def test_global_running_agg_edge_cases(spark):
         .sort_values("k")
     )
     assert list(got.rs) == list(pdf.x.cumsum())
+
+
+def test_global_running_agg_property(spark):
+    """Property check: for arbitrary integer series (negatives included,
+    distinct keys) and partition counts, the distributed prefix scan
+    equals pandas cumsum/cummin/cummax bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from traderjoe_etl_spark.operators.prefix import global_running_agg
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        xs=st.lists(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            min_size=1,
+            max_size=60,
+        ),
+        n_parts=st.integers(min_value=1, max_value=9),
+        shuffle=st.randoms(),
+    )
+    def prop(xs, n_parts, shuffle):
+        keys = list(range(len(xs)))
+        rows = list(zip(keys, xs))
+        shuffle.shuffle(rows)
+        df = spark.createDataFrame(rows, "k int, x long").repartition(4)
+        got = (
+            global_running_agg(
+                df,
+                "k",
+                {"rs": ("x", "sum"), "rmin": ("x", "min"), "rmax": ("x", "max")},
+                n_parts=n_parts,
+            )
+            .toPandas()
+            .sort_values("k")
+        )
+        ser = pd.Series(xs)
+        assert list(got.rs) == list(ser.cumsum())
+        assert list(got.rmin) == list(ser.cummin())
+        assert list(got.rmax) == list(ser.cummax())
+
+    prop()
