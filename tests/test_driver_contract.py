@@ -49,6 +49,45 @@ def test_rows_only_runs(spark, sf_dir, name):
     df.limit(5).collect()  # plan executes
 
 
+def _is_atomic(dt) -> bool:
+    # The driver canonicalizer feeds every column into pandas
+    # sort_values then hashes values, so each cell must be a hashable
+    # scalar. Arrays/structs/maps become numpy arrays / dicts →
+    # ``TypeError: unhashable type`` (the r4 embedding_pca_project
+    # failure). Binary is fine: ``bytes`` is hashable and ordered.
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dt,
+        (
+            T.StringType,
+            T.BooleanType,
+            T.DateType,
+            T.BinaryType,
+            T.NumericType,
+            T.TimestampType,
+            T.TimestampNTZType,
+        ),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_driver_canonicalizable(spark, sf_smoke, name):
+    """Every registered query must emit only atomic columns — the driver
+    canonicalizer (pandas sort_values + value hash) cannot handle
+    array/struct/map cells. Regression gate for the r4
+    embedding_pca_project red row (VERDICT r4 item 2)."""
+    df = QUERIES[name](spark, sf_smoke)
+    offenders = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if not _is_atomic(f.dataType)
+    ]
+    assert not offenders, (
+        f"{name} emits non-atomic driver-unhashable columns: {offenders}"
+    )
+
+
 def test_bad_sf_dir_raises_cleanly(spark):
     """A wrong sf_dir must fail fast with PATH_NOT_FOUND, never hang or
     return an empty frame."""

@@ -457,13 +457,20 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenbasis is not SQL-expressible — the algebraic invariants
     (orthonormality, variance ordering, projection variance ==
     eigenvalue, full-rank reconstruction) are pinned by pytest instead.
-    Output rounds to 6 dp for run-to-run display stability; rank order
-    of explained variance is deterministic."""
+    Output is exploded to atomic (vec_id, component_idx, value) rows —
+    the driver canonicalizer cannot hash array columns — with |value|
+    emitted (an eigenvector's global sign is solver-dependent even with
+    the deterministic sign convention applied; magnitude per component
+    is the stable quantity). Rounded to 4 dp for run-to-run stability."""
     from ..operators.similarity import pca_fit, pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _ = pca_fit(emb, dim=64, k=8)
     out = pca_project(emb, mean, comps)
     return out.select(
-        "vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj")
+        "vec_id", F.posexplode("proj").alias("component_idx", "v")
+    ).select(
+        "vec_id",
+        "component_idx",
+        F.round(F.abs("v"), 4).alias("abs_value"),
     )
