@@ -139,6 +139,8 @@ def _real_features(blob: bytes, mime: str, dim: int) -> list[float]:
     elif mime == WAV_MIME:
         s = _decode_wav(blob).astype(np.int64)
         n = len(s)
+        if n == 0:
+            raise ValueError("empty WAV: no frames")
         sum_abs = float(np.abs(s).sum())
         sum_sq = float((s * s).sum())
         zc = float((np.signbit(s[1:]) != np.signbit(s[:-1])).sum()) if n > 1 else 0.0
@@ -337,6 +339,11 @@ def resize_images(
                         px = _decode_ppm(blob).astype(np.int64)
                         h, w, _ = px.shape
                         bh, bw = h // out_h, w // out_w
+                        if bh < 1 or bw < 1:
+                            raise ValueError(
+                                f"real resizer only downsamples: input "
+                                f"{h}x{w} smaller than output {out_h}x{out_w}"
+                            )
                         gray = px.sum(axis=2) // 3
                         pooled = (
                             gray[: out_h * bh, : out_w * bw]

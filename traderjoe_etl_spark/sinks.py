@@ -29,13 +29,26 @@ def append_snapshot(df: DataFrame, path: str, partition_col: str = "snapshot_dat
     out.write.mode("append").partitionBy(partition_col).parquet(path)
 
 
-def csv_export(df: DataFrame, path: str) -> None:
+#: csv_export materializes on the driver; above this many rows the caller
+#: almost certainly wanted the distributed sink instead of an OOM.
+CSV_EXPORT_MAX_ROWS = 1_000_000
+
+
+def csv_export(df: DataFrame, path: str, max_rows: int = CSV_EXPORT_MAX_ROWS) -> None:
     """Header-once single-file CSV append (reference main.py:345-351).
 
     A deliberate driver-side convenience for small exports (the reference's
     output volume is one row per pair per hour — tiny); the distributed
-    path is ``append_snapshot``.
+    path is ``append_snapshot``. Guarded: refuses above ``max_rows`` so a
+    100-TB relation can never be collect()ed onto the driver by accident —
+    the count probe is limit(max_rows+1), not a full count of the input.
     """
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"csv_export is a driver-side small-export sink: input exceeds "
+            f"{max_rows} rows; use append_snapshot (distributed) instead"
+        )
     pdf = df.toPandas()
     exists = os.path.isfile(path) and os.path.getsize(path) > 0
     pdf.to_csv(path, mode="a" if exists else "w", index=False, header=not exists)

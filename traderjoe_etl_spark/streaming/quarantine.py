@@ -27,6 +27,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 _FLAGS = ["f_wc", "f_mwl", "f_sym", "f_alpha", "f_stop"]
 
+#: Column names the router/kernel introduces: a batch already carrying one
+#: of these would produce duplicate/ambiguous columns mid-stream, so the
+#: router rejects such inputs up front with a clear error instead.
+_RESERVED = frozenset(
+    ["wc", "words", "nchars", "symbols", "failed_rules", *_FLAGS]
+)
+
 
 def route_batch(batch_df: DataFrame, epoch_id: int, clean_path: str, quarantine_path: str) -> None:
     """Score one (micro-)batch with the Gopher rules and write the split.
@@ -36,6 +43,12 @@ def route_batch(batch_df: DataFrame, epoch_id: int, clean_path: str, quarantine_
     fired, comma-joined in a fixed order."""
     from ..queries.stats_ml_ops import gopher_doc_flags
 
+    colliding = sorted(_RESERVED.intersection(batch_df.columns))
+    if colliding:
+        raise ValueError(
+            f"quarantine router: input columns {colliding} collide with "
+            f"kernel-internal names; rename them before routing"
+        )
     flags = gopher_doc_flags(batch_df)
     fail_list = F.concat_ws(
         ",",

@@ -28,12 +28,15 @@ STATE_SCHEMA = "net double, n long"
 def _update_position(key, pdfs: Iterable, state: GroupState):
     import pandas as pd
 
+    import numpy as np
+
     net, n = state.get if state.exists else (0.0, 0)
     for pdf in pdfs:
         # deposits add, withdrawals subtract — the signed fold of the
         # reference's deposit-only sum (main.py:127-135) generalized
-        sign = pdf["event_type"].map(lambda t: 1.0 if t == "purchase" else -1.0 if t == "error" else 0.0)
-        net += float((pdf["value"] * sign).sum())
+        et = pdf["event_type"].to_numpy()
+        sign = np.where(et == "purchase", 1.0, np.where(et == "error", -1.0, 0.0))
+        net += float((pdf["value"].to_numpy() * sign).sum())
         n += int(len(pdf))
     state.update((net, n))
     yield pd.DataFrame({"user_id": [key[0]], "net_value": [net], "n_events": [n]})
@@ -65,15 +68,17 @@ class _PositionProcessor(StatefulProcessor):
         self._state = handle.getValueState("pos", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
         import pandas as pd
 
         prior = self._state.get() if self._state.exists() else None
         net, n = prior if prior is not None else (0.0, 0)
         for pdf in rows:
-            sign = pdf["event_type"].map(
-                lambda t: 1.0 if t == "purchase" else -1.0 if t == "error" else 0.0
+            et = pdf["event_type"].to_numpy()
+            sign = np.where(
+                et == "purchase", 1.0, np.where(et == "error", -1.0, 0.0)
             )
-            net += float((pdf["value"] * sign).sum())
+            net += float((pdf["value"].to_numpy() * sign).sum())
             n += int(len(pdf))
         self._state.update((net, n))
         yield pd.DataFrame({"user_id": [key[0]], "net_value": [net], "n_events": [n]})
