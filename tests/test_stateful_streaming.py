@@ -121,6 +121,42 @@ def test_tws_position_tracker_matches_batch_fold(spark, sf_smoke):
         assert abs(r.net_value - exp_net) < 1e-6, (r.user_id, r.net_value, exp_net)
 
 
+def test_position_fold_skips_null_values():
+    """A null `value` must be SKIPPED (Spark SQL sum semantics), not folded:
+    NaN*0.0 is NaN and a plain numpy sum would propagate it, permanently
+    poisoning the per-user net state. Unit-tests the kernel directly with a
+    fake GroupState so the null path is pinned without a streaming query."""
+    import numpy as np
+    import pandas as pd
+
+    from traderjoe_etl_spark.streaming.stateful import _update_position
+
+    class _FakeState:
+        exists = False
+
+        def update(self, t):
+            self.val = t
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["purchase", "view", "error", "purchase"],
+            "value": [10.0, np.nan, 3.0, np.nan],
+        }
+    )
+    out = list(_update_position(("u1",), [pdf], st))
+    # null purchase skipped, null view (sign 0) skipped: 10 - 3 = 7; all 4 rows counted
+    assert st.val == (7.0, 4)
+    assert out[0]["net_value"].iloc[0] == 7.0 and out[0]["n_events"].iloc[0] == 4
+
+    # state must stay finite and keep accumulating on the next batch
+    st.exists = True
+    st.get = st.val
+    pdf2 = pd.DataFrame({"event_type": ["purchase"], "value": [1.5]})
+    list(_update_position(("u1",), [pdf2], st))
+    assert st.val == (8.5, 5)
+
+
 def test_windowed_agg_on_rocksdb_state_store(spark, sf_smoke):
     """The scale-grade state backend: the same tumbling-window aggregation
     must produce batch-identical results with RocksDB state (the provider

@@ -41,15 +41,16 @@ def csv_export(df: DataFrame, path: str, max_rows: int = CSV_EXPORT_MAX_ROWS) ->
     output volume is one row per pair per hour — tiny); the distributed
     path is ``append_snapshot``. Guarded: refuses above ``max_rows`` so a
     100-TB relation can never be collect()ed onto the driver by accident —
-    the count probe is limit(max_rows+1), not a full count of the input.
+    the probe and the collect are ONE job — limit(max_rows+1).toPandas() —
+    so a changing/non-deterministic source can't pass a separate count
+    probe and then collect more (and the input plan runs once, not twice).
     """
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"csv_export is a driver-side small-export sink: input exceeds "
             f"{max_rows} rows; use append_snapshot (distributed) instead"
         )
-    pdf = df.toPandas()
     exists = os.path.isfile(path) and os.path.getsize(path) > 0
     pdf.to_csv(path, mode="a" if exists else "w", index=False, header=not exists)
 

@@ -43,7 +43,9 @@ def route_batch(batch_df: DataFrame, epoch_id: int, clean_path: str, quarantine_
     fired, comma-joined in a fixed order."""
     from ..queries.stats_ml_ops import gopher_doc_flags
 
-    colliding = sorted(_RESERVED.intersection(batch_df.columns))
+    # lowercase both sides: Spark column resolution is case-insensitive by
+    # default, so an input named 'WC' or 'Failed_Rules' collides just the same
+    colliding = sorted(c for c in batch_df.columns if c.lower() in _RESERVED)
     if colliding:
         raise ValueError(
             f"quarantine router: input columns {colliding} collide with "

@@ -36,7 +36,10 @@ def _update_position(key, pdfs: Iterable, state: GroupState):
         # reference's deposit-only sum (main.py:127-135) generalized
         et = pdf["event_type"].to_numpy()
         sign = np.where(et == "purchase", 1.0, np.where(et == "error", -1.0, 0.0))
-        net += float((pdf["value"].to_numpy() * sign).sum())
+        # nansum: a null `value` must be skipped (Spark SQL sum semantics),
+        # not propagated — NaN*0.0 is NaN, and one NaN would otherwise
+        # permanently poison the per-user net state.
+        net += float(np.nansum(pdf["value"].to_numpy() * sign))
         n += int(len(pdf))
     state.update((net, n))
     yield pd.DataFrame({"user_id": [key[0]], "net_value": [net], "n_events": [n]})
@@ -78,7 +81,8 @@ class _PositionProcessor(StatefulProcessor):
             sign = np.where(
                 et == "purchase", 1.0, np.where(et == "error", -1.0, 0.0)
             )
-            net += float((pdf["value"].to_numpy() * sign).sum())
+            # null-skipping fold — see _update_position
+            net += float(np.nansum(pdf["value"].to_numpy() * sign))
             n += int(len(pdf))
         self._state.update((net, n))
         yield pd.DataFrame({"user_id": [key[0]], "net_value": [net], "n_events": [n]})
