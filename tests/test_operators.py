@@ -687,6 +687,45 @@ def test_pca_fit_project_invariants(spark, emb):
     assert np.allclose(np.array(comps8), C[:, :8], atol=1e-8)
 
 
+def test_pca_fit_offset_heavy_corpus_is_stable(spark):
+    """Catastrophic-cancellation regression (VERDICT r5 item 6): with
+    |mean| ~1e8 and O(1) spread, the naive one-pass ``G/n − outer(mean,
+    mean)`` loses every significant digit of the covariance in float64
+    (1e16 − 1e16). The pivot-shifted accumulation must recover the same
+    eigenstructure numpy gets from explicitly centered data."""
+    import numpy as np
+
+    from traderjoe_etl_spark.operators.similarity import pca_fit
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 400
+    offset = 1e8 * np.ones(dim)
+    # anisotropic signal: variance concentrated in two known directions
+    X = offset + rng.normal(size=(n, 2)) @ np.array(
+        [[5.0] + [0.0] * 7, [0.0, 2.0] + [0.0] * 6]
+    ) + 0.01 * rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    mean, comps, explained = pca_fit(emb, dim=dim, k=dim)
+    C = np.asarray(comps)
+    assert np.allclose(np.asarray(mean), X.mean(axis=0), rtol=0, atol=1e-4)
+    assert np.allclose(C.T @ C, np.eye(dim), atol=1e-8)
+
+    Xc = X - X.mean(axis=0)
+    ref_evals = np.sort(np.linalg.eigvalsh(Xc.T @ Xc / n))[::-1]
+    got_evals = np.asarray(explained) * ref_evals.sum()
+    # the naive formula yields relative errors O(1) here; pinned tight
+    assert np.allclose(got_evals, ref_evals, rtol=1e-6, atol=1e-9)
+    # leading components span the planted 2D signal subspace
+    basis = np.zeros((dim, 2))
+    basis[0, 0] = basis[1, 1] = 1.0
+    overlap = np.linalg.svd(C[:, :2].T @ basis, compute_uv=False)
+    assert np.all(overlap > 0.99)
+
+
 def test_winnowed_span_fingerprints_arrow_equals_hof(spark, sf_dir):
     """The numpy kernel and the JVM HOF form of the winnowing-selected
     span fingerprints must emit IDENTICAL integers — the modular scheme

@@ -74,6 +74,7 @@ CASES = [
     "gdpr_erase_audit",              # broadcast subject-cohort counts (r4s4)
     "cumulative_unique_users_daily", # first-seen prefix-sum growth curve (r4s4)
     "share_of_parent_revenue",       # two-level integer-cents shares (r4s4)
+    "embedding_pca_project",         # SIGNED 4dp projections: sign-canonical basis (r6)
 ]
 
 

@@ -933,9 +933,28 @@ def pca_fit(
     correctness is pinned by pytest invariants (orthonormality, variance
     ordering, per-component projection variance == eigenvalue,
     full-rank reconstruction) rather than a SQL oracle — no SQL engine
-    exposes an eigensolver."""
+    exposes an eigensolver.
+
+    Numerical stability: partials accumulate around a PIVOT (the corpus's
+    first vector, fetched with a one-row job before the scan), i.e.
+    ``Y = X − pivot`` and ``cov = E[YYᵀ] − E[Y]E[Y]ᵀ`` — algebraically
+    identical for any pivot, but the shifted form keeps the Gram entries
+    O(spread²) instead of O(offset²), so an offset-heavy corpus (mean ≫
+    standard deviation) no longer cancels catastrophically in the naive
+    ``G/n − outer(mean, mean)``: with |mean| ~1e8 and unit variance the
+    unshifted subtraction loses ALL significant digits in float64
+    (1e16 − 1e16 ≈ variance). Pinned by a large-offset regression test."""
     import numpy as np
     import pyarrow as pa
+
+    pivot_row = emb.select(vec_col).first()
+    if pivot_row is None:
+        raise ValueError("pca_fit: empty input corpus (no vectors to fit)")
+    pivot = np.asarray(
+        [float(x) for x in pivot_row[0]], dtype=np.float64
+    )
+    if pivot.shape != (dim,):
+        raise ValueError(f"pca_fit: vector dim {pivot.shape[0]} != dim={dim}")
 
     def partials(batches):
         for b in batches:
@@ -949,11 +968,12 @@ def pca_fit(
                 .astype(np.float64, copy=False)
                 .reshape(n, -1)
             )
+            Y = X - pivot  # shifted accumulation — see docstring
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([n], type=pa.int64()),
-                    pa.array([X.sum(axis=0)]),
-                    pa.array([(X.T @ X).ravel()]),
+                    pa.array([Y.sum(axis=0)]),
+                    pa.array([(Y.T @ Y).ravel()]),
                 ],
                 names=["n", "s", "g"],
             )
@@ -970,8 +990,9 @@ def pca_fit(
     G = np.sum(
         [np.asarray(r["g"], dtype=np.float64).reshape(dim, dim) for r in parts], axis=0
     )
-    mean = s / n
-    cov = G / n - np.outer(mean, mean)
+    shifted_mean = s / n
+    mean = pivot + shifted_mean
+    cov = G / n - np.outer(shifted_mean, shifted_mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].copy()

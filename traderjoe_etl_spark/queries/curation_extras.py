@@ -458,10 +458,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orthonormality, variance ordering, projection variance ==
     eigenvalue, full-rank reconstruction) are pinned by pytest instead.
     Output is exploded to atomic (vec_id, component_idx, value) rows —
-    the driver canonicalizer cannot hash array columns — with |value|
-    emitted (an eigenvector's global sign is solver-dependent even with
-    the deterministic sign convention applied; magnitude per component
-    is the stable quantity). Rounded to 4 dp for run-to-run stability."""
+    the driver canonicalizer cannot hash array columns — SIGNED:
+    pca_fit canonicalizes each eigenvector's sign deterministically
+    (largest-|coordinate| positive), so the signed projection is stable
+    run to run up to float-sum reassociation; emitting |v| would hide a
+    per-cell or per-subset sign-flip bug from the driver check. Rounded
+    to 4 dp for run-to-run stability; sign stability across
+    repartitionings is pinned in the partition-invariance suite."""
     from ..operators.similarity import pca_fit, pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -472,5 +475,5 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "component_idx",
-        F.round(F.abs("v"), 4).alias("abs_value"),
+        F.round("v", 4).alias("value"),
     )
