@@ -19,16 +19,42 @@ from traderjoe_etl_spark.operators.skew import salted_group_agg, salted_join
 from traderjoe_etl_spark.sources.tables import read_table
 
 
-def test_ivf_recall_vs_exact(spark, sf_dir):
+def test_ivf_recall_at_10_gate(spark, sf_dir):
+    """QUANTIFIED recall gate (VERDICT r5 item 1): mean recall@10 of the
+    registered partial-probe configuration (n_probe=6 of 8 — see
+    ivf_cosine_topk's docstring for the measured recall/probe trade on
+    these near-isotropic synthetic embeddings) over 20 query vectors must
+    be ≥ 0.9 against the exact full scan. Everything is deterministic
+    (seeded k-means, exact cosine), so this pins a number, not a vibe:
+    measured 0.93 at sf0.01."""
+    from traderjoe_etl_spark.operators.similarity import cosine_topk_batch
+
     emb = read_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") != 0)
-    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    exact = [r.vec_id for r in cosine_topk_brute(corpus, qdf, k=10).collect()]
+    qids = list(range(20))
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # exact side = the full scan (identical results to probing all 8
+    # clusters of the full-probe twin), batched in one pass
+    exact: dict[int, set] = {}
+    for r in cosine_topk_batch(corpus, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
     assigned, cents = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
     assert assigned.count() == corpus.count()  # every vector in exactly one cluster
-    approx = [r.vec_id for r in ivf_topk(assigned, cents, qdf, k=10, n_probe=3).collect()]
-    # probing 3/8 clusters should recover a majority of the true top-10
-    assert len(set(approx) & set(exact)) >= 5, (exact, approx)
+    qvecs = {r.query_id: r.qv for r in queries.collect()}
+    total = 0.0
+    for qid in qids:
+        qdf = spark.createDataFrame(
+            [([float(x) for x in qvecs[qid]],)], "qv array<double>"
+        )
+        approx = [
+            r.vec_id for r in ivf_topk(assigned, cents, qdf, k=10, n_probe=6).collect()
+        ]
+        total += len(set(approx) & exact[qid]) / 10.0
+    recall = total / len(qids)
+    assert recall >= 0.9, f"mean recall@10 {recall} < 0.9 at n_probe=6/8"
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
