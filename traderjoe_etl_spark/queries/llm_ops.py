@@ -452,7 +452,11 @@ def minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only (fingerprints are engine-internal 64-bit mixes; pair-level
     guarantees — identical-token-sequence collision, planted-near-dup
     recall, Jaccard precision of candidates — are pinned by pytest, the
-    same split text_profile_fast uses)."""
+    same split text_profile_fast uses; additionally
+    test_minhash_fast_family_pairs_match_portable_at_sf001 pins this
+    query's candidate PAIR SET equal to the oracle-verified portable
+    family's at sf0.01 — a deterministic cross-family containment
+    proof)."""
     from ..operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")

@@ -124,10 +124,13 @@ def text_profile_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sf10 corpus (VERDICT r02 item 4). The fingerprint family is
     engine-internal, so this query is rows-only by design; its
     correctness evidence is (a) the md5 twin above, whose oracle checks
-    the identical plan with the portable family, and (b) the family pytest
+    the identical plan with the portable family, (b) the family pytest
     asserting the fingerprint's family-independent guarantees (exact-dup
     classes fingerprint together; distinct docs stay distinct) on a
-    seeded corpus."""
+    seeded corpus, and (c)
+    test_text_profile_fast_equals_full_on_non_hash_columns pinning every
+    non-fingerprint column byte-equal to the oracle-checked twin per doc
+    at sf0.01."""
     docs = _t(spark, sf_dir, "documents")
     return text_profile(docs, "doc_id", "text", fingerprint_hash="xxhash64")
 
