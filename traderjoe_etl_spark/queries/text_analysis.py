@@ -754,6 +754,35 @@ _DEDUP_CLUSTERS_ORACLE = r"""
 """
 
 
+# Verified near-dup pairs shared by dedup_clusters + dedup_canonical_best:
+# both queries consume the IDENTICAL candidate→verify subtree (LSH
+# candidates → exact Jaccard ≥ 0.8), which was ~40% of the pair's 53 s at
+# sf10 when each recomputed it (VERDICT r4 item 7 / r5 item 3). The
+# verified-pairs relation is tiny (near-dup pairs, not documents), so a
+# lazy DISK_ONLY localCheckpoint pins it once per (session, corpus);
+# deterministic, so a rebuild would produce the identical pairs — the same
+# index-cache rule as advanced_ops._IVF_INDEX. Both consumers stay
+# bench-ineligible per the checkpoint rule (the checkpoint would hide the
+# candidate+verify phase from re-execution timers).
+_NEAR_DUP_PAIRS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    key = (id(spark), sf_dir)
+    if key not in _NEAR_DUP_PAIRS:
+        docs = _t(spark, sf_dir, "documents")
+        cand = minhash_lsh_candidates(docs, "doc_id", "text")
+        near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+        _NEAR_DUP_PAIRS[key] = near.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
+    return _NEAR_DUP_PAIRS[key]
+
+
 @query("dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline END: near-dup pairs (LSH candidates verified at
@@ -767,13 +796,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — so the hash match proves the distributed star-contraction
     algorithm produces exactly the textbook components. The engine side
     never materializes the O(n²) pair product nor the closure; components
-    converge in O(log² n) two-aggregate rounds."""
-    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    converge in O(log² n) two-aggregate rounds. The verified-pairs input
+    is the checkpointed builder shared with dedup_canonical_best."""
     from ..operators.graph import dedup_cluster_assignments
 
-    docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, "doc_id", "text")
-    near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+    near = _verified_near_dup_pairs(spark, sf_dir)
     return dedup_cluster_assignments(near, "id_a", "id_b")
 
 
@@ -918,13 +945,13 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the smaller doc_id via an exact integral ranking key
     (n_chars·10^7 − doc_id), computed with max_by so selection is one
     aggregate over the cluster assignments, not a window sort. A 100-TB
-    curation job then semi-joins the corpus on keep_doc_id."""
-    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    curation job then semi-joins the corpus on keep_doc_id. The
+    verified-pairs input is the checkpointed builder shared with
+    dedup_clusters."""
     from ..operators.graph import dedup_cluster_assignments
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, "doc_id", "text")
-    near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+    near = _verified_near_dup_pairs(spark, sf_dir)
     assigned = dedup_cluster_assignments(near, "id_a", "id_b")
     rank = (F.col("n_chars") * 10000000 - F.col("doc_id")).cast("long")
     return (
