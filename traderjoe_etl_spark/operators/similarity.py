@@ -249,6 +249,22 @@ def _topk_scores_arrow(
     return src.mapInArrow(score, f"{query_id_col} long, {id_col} long, cosine double")
 
 
+def adaptive_n_planes(n: int, target_bucket: int = 64, floor: int = 4) -> int:
+    """Corpus-adaptive sign-LSH plane count: the smallest bank whose
+    EXPECTED bucket load is ≤ ``target_bucket`` (2^planes ≥ n/target + 1),
+    floored at ``floor`` so tiny corpora keep a few buckets.
+
+    Why adaptive: in-bucket pair work is ~n²/2^planes, so a PINNED bank
+    silently goes quadratic as the corpus grows (a 4-plane bank at sf10's
+    200k vectors is ~1.25e9 candidate pairs — a multi-hour stall), while
+    this sizing keeps expected pair volume ~n·target/2, LINEAR in n. The
+    regime is pinned empirically by
+    tests/test_operators.py::test_adaptive_lsh_regime_pair_volume_linear."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n, 1) / target_bucket + 1)))
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-ish Gaussian hyperplanes (driver-side constants,
     broadcast into the plan as literals)."""
@@ -600,10 +616,7 @@ def cosine_near_dup_pairs(
     bucket-sized group. Pair output is identical: every unordered pair is
     scored in exactly one block-pair group."""
     if n_planes is None:
-        import math
-
-        n = emb.count()
-        n_planes = max(4, math.ceil(math.log2(max(n, 1) / 32 + 1)))
+        n_planes = adaptive_n_planes(emb.count(), target_bucket=32)
     planes = random_hyperplanes(dim, n_planes, seed=seed)
     b = emb.select(
         F.col(id_col).alias("__id"),

@@ -302,13 +302,11 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL inlines — parity holds for any corpus up to 960 vectors, and
     beyond that only the (unchecked) approximate recall changes, never
     pair correctness: emitted cosines are always exact."""
-    import math
-
-    from ..operators.similarity import cosine_near_dup_pairs
+    from ..operators.similarity import adaptive_n_planes, cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
-    n_planes = max(4, math.ceil(math.log2(max(n, 1) / 64 + 1)))
+    n_planes = adaptive_n_planes(n, target_bucket=64)
     # Physical strategy by corpus size, AQE-style: the JVM HOF pair join at
     # oracle scale (bit-compatible with the sequential-sum oracle), the
     # per-bucket GEMM kernel once pair volume dominates (duplicate clusters
