@@ -75,6 +75,10 @@ CASES = [
     "cumulative_unique_users_daily", # first-seen prefix-sum growth curve (r4s4)
     "share_of_parent_revenue",       # two-level integer-cents shares (r4s4)
     "embedding_pca_project",         # SIGNED 4dp projections: sign-canonical basis (r6)
+    "epoch_shuffle_order",           # md5 shard/rank permutation, hash-exact (r6)
+    "rolling_median_revenue_7d",     # integer-cents order statistic, RANGE window (r6)
+    "distinct_ngram_diversity",      # integer distinct/total counts per source (r6)
+    "sparse_shingle_cosine_pairs",   # df-capped candidates + rounded cosine (r6)
 ]
 
 

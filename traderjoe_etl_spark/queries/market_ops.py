@@ -857,3 +857,63 @@ def seasonality_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "rolling_median_revenue_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS day_num,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS daily_cents
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT day, daily_cents,
+           CAST(median(daily_cents) OVER (
+               ORDER BY day_num
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med7_cents
+    FROM daily
+    """,
+)
+def rolling_median_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of daily revenue over a trailing 7-day RANGE
+    window — the order-statistic smoother (robust to the spikes a moving
+    AVERAGE chases), missing days genuinely absent from the window (RANGE
+    on the day number, not ROWS).
+
+    Spark has no median window function; the exact form here is
+    ``array_sort(collect_list(cents) over RANGE)`` + middle element(s) —
+    affordable precisely because the window input is the PRE-AGGREGATED
+    daily relation (≤ |calendar days| rows, ~2.4k here; the corpus-scale
+    orders table is reduced by a map-combinable groupBy first). That is
+    also why the unpartitioned window is scale-safe: it sorts ≤ a few
+    thousand calendar rows regardless of fact-table size, the same
+    bounded-relation argument as the gap-fill queries. All arithmetic in
+    integer cents; the even-count median is the mean of the two middle
+    values — exact on the 0.5-cent grid, so no rounding is applied."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "day_num"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_num", "day")
+        .agg(F.sum("cents").alias("daily_cents"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    med = F.expr(
+        "CASE WHEN size(win) % 2 = 1"
+        " THEN CAST(element_at(win, CAST((size(win) + 1) div 2 AS INT)) AS DOUBLE)"
+        " ELSE (element_at(win, CAST(size(win) div 2 AS INT))"
+        "       + element_at(win, CAST(size(win) div 2 + 1 AS INT))) / 2.0 END"
+    )
+    return (
+        daily.withColumn("win", F.array_sort(F.collect_list("daily_cents").over(w)))
+        .select("day", "daily_cents", med.alias("med7_cents"))
+    )

@@ -673,3 +673,117 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", F.round("w", 6).alias("weight"), "rk")
     )
+
+
+_SPARSE_DF_CAP = 16
+_SPARSE_COS_T = 0.4
+_SH3_SQL = (
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+
+
+@query(
+    "sparse_shingle_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    sh AS (
+        SELECT doc_id, s, count(*) AS tf FROM (
+            SELECT doc_id, unnest({_SH3_SQL}) AS s
+            FROM toks WHERE len(w) >= 3
+        ) GROUP BY doc_id, s
+    ),
+    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT sh.doc_id, sh.s,
+               sh.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS wt
+        FROM sh JOIN df USING (s) CROSS JOIN n
+        WHERE df.df <= {_SPARSE_DF_CAP}
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nm FROM w GROUP BY doc_id),
+    dot AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS d
+        FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT dot.id_a, dot.id_b,
+           round(dot.d / (na.nm * nb.nm), 6) AS cosine
+    FROM dot
+    JOIN nrm na ON na.doc_id = dot.id_a
+    JOIN nrm nb ON nb.doc_id = dot.id_b
+    WHERE dot.d / (na.nm * nb.nm) >= {_SPARSE_COS_T}
+    """,
+)
+def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector document similarity via an inverted-index join — the
+    weighted (bag + idf) complement of ngram_jaccard's set semantics and
+    of the dense embedding-cosine family: tf-idf over 3-token shingles,
+    all pairs with cosine ≥ 0.4 in the DISCRIMINATIVE subspace (shingles
+    with df ≤ 16; higher-df shingles are boilerplate by definition and are
+    excluded from both the dot products and the norms, so the score is
+    exactly the cosine of the df-capped tf-idf vectors).
+
+    Scale shape (the df-cut member of the AllPairs/prefix-filter family,
+    Bayardo et al. WWW'07): ONE postings self-join on the shingle, so
+    total pair-posting volume is Σ_(df≤cap) df² ≤ cap·|postings| — linear
+    in corpus size with a cap-sized constant — where an uncapped join
+    carries the Σ df² quadratic blowup of every boilerplate shingle
+    (measured: the uncapped per-pair rescoring variant OOM'd AQE's
+    broadcast planner at sf10; this form is one bounded hash join). The
+    join streams pairs row-by-row (no per-bucket arrays), partial
+    aggregation reduces to one row per colliding pair, and norms are one
+    map-combinable pass over the capped postings. Joins are pinned
+    sort-merge: the exploded postings sides defeat AQE's size estimates,
+    and none is broadcastable at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 3)
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                    "             ' ', element_at(w, i + 2)))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        sh.join(df.hint("merge"), "s")
+        .filter(F.col("df") <= _SPARSE_DF_CAP)
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "s",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+            ).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
+    dot = (
+        w.alias("a")
+        .join(w.alias("b").hint("merge"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("nm_a"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nm_b"))
+    cos = F.col("d") / (F.col("nm_a") * F.col("nm_b"))
+    return (
+        dot.join(na.hint("merge"), "id_a")
+        .join(nb.hint("merge"), "id_b")
+        .filter(cos >= _SPARSE_COS_T)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -961,3 +961,73 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("n_chars", rank).alias("keep_n_chars"),
         )
     )
+
+
+@query(
+    "distinct_ngram_diversity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT source, 1 AS n, unnest(w) AS gram FROM toks
+        UNION ALL
+        SELECT source, 2, unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1]))
+        FROM toks WHERE len(w) >= 2
+        UNION ALL
+        SELECT source, 3, unnest(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        FROM toks WHERE len(w) >= 3
+    )
+    SELECT source, n,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS distinct_ratio
+    FROM g GROUP BY source, n
+    """,
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report: distinct-n (unique n-grams / total
+    n-grams, n = 1..3) per source — the standard degenerate-generation /
+    boilerplate detector for LLM training and eval corpora (low
+    distinct-2/3 = repetitive or template-heavy source; the linear-cost
+    stand-in for pairwise self-BLEU).
+
+    Plan shape: ONE exploded pass tagging each n-gram with its n (the
+    three gram streams are built inside the same generator projection),
+    then count-distinct via two-level partial aggregation — groupBy
+    (source, n, gram) map-combines to unique grams before any shuffle,
+    then (source, n) folds counts, so the exchange carries |vocab|-scale
+    rows, never corpus-scale token streams. No windows, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    grams = F.expr(
+        "concat("
+        " transform(w, t -> struct(1 AS n, t AS gram)),"
+        " CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+        "   i -> struct(2 AS n, concat(element_at(w, i), ' ',"
+        "                              element_at(w, i + 1)) AS gram))"
+        "      ELSE array() END,"
+        " CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2),"
+        "   i -> struct(3 AS n, concat(element_at(w, i), ' ',"
+        "                              element_at(w, i + 1), ' ',"
+        "                              element_at(w, i + 2)) AS gram))"
+        "      ELSE array() END)"
+    )
+    exploded = toks.select("source", F.explode(grams).alias("g")).select(
+        "source", "g.n", "g.gram"
+    )
+    per_gram = exploded.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("distinct_ratio"),
+    )

@@ -299,3 +299,65 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "epoch_shuffle_order",
+    oracle="""
+    WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+    k AS (
+        SELECT doc_id, epoch,
+               md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS key
+        FROM e
+    ),
+    s AS (
+        SELECT doc_id, epoch,
+               CAST(('0x' || substr(key, 1, 1))::BIGINT AS INT) AS shard, key
+        FROM k
+    )
+    SELECT CAST(epoch AS INT) AS epoch, shard, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+                                   ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch GLOBAL shuffle of the training corpus — the
+    "re-shuffle the data every epoch" step of every pre-training run,
+    expressed without any single-reducer sort: the shuffle key is
+    ``md5(doc_id:epoch)`` (portable — the oracle recomputes it), the
+    shard is the key's first nibble, and the position is a row_number
+    within the (epoch, shard) partition ordered by key. Because shards
+    are the hash's leading nibble, ``(shard ASC, pos ASC)`` IS the global
+    md5 order — a total shuffle order materialized with |shards|-way
+    parallel windows instead of one global ORDER BY (at 100 TB, widen the
+    nibble to 2-3 hex chars for 256-4096 shards and write each shard as
+    one range-partitioned file run: this is exactly a distributed
+    shuffle-write). Epochs re-key everything, so consecutive epochs are
+    independent permutations; integer-exact, no RNG state anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    k = e.select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+            )
+        ).alias("key"),
+    )
+    s = k.select(
+        "doc_id",
+        "epoch",
+        F.expr("CAST(conv(substring(key, 1, 1), 16, 10) AS INT)").alias("shard"),
+        "key",
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return s.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
