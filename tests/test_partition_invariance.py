@@ -79,6 +79,8 @@ CASES = [
     "rolling_median_revenue_7d",     # integer-cents order statistic, RANGE window (r6)
     "distinct_ngram_diversity",      # integer distinct/total counts per source (r6)
     "sparse_shingle_cosine_pairs",   # df-capped candidates + rounded cosine (r6)
+    "token_budget_selection",        # integer-keyed prefix scan + integer budget (r6)
+    "contrastive_negative_samples",  # md5-derived negatives, anti-join, j-rank (r6)
 ]
 
 

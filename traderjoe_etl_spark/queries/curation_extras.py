@@ -477,3 +477,69 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_idx",
         F.round("v", 4).alias("value"),
     )
+
+
+def _token_budget_oracle() -> str:
+    from .text_analysis import _text_profile_oracle
+
+    return f"""
+    WITH prof AS ({_text_profile_oracle()}),
+    keyed AS (
+        SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+               (1000000 - CAST(round(quality * 1000000) AS BIGINT)) * 10000000000000
+                   + doc_id AS okey
+        FROM prof
+    ),
+    cum AS (
+        SELECT doc_id, quality, n_tokens,
+               sum(n_tokens) OVER (ORDER BY okey) AS cum_tokens
+        FROM keyed
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM keyed)
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum, tot WHERE cum_tokens <= tot.t // 2
+    """
+
+
+@query("token_budget_selection", oracle=_token_budget_oracle())
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first curation under a global TOKEN BUDGET: rank the corpus
+    by the text-profile quality score (ties broken by doc_id) and keep
+    documents while the running token total stays within half the
+    corpus's tokens — the "take the best N tokens" selection every
+    data-constrained training run performs (cf. the quality-pruning
+    regimes in arXiv:2112.11446 §A2).
+
+    The running total is the factored distributed prefix scan
+    (operators/prefix.global_running_agg — consumer #5): a global
+    ``sum OVER (ORDER BY …)`` in one task would serialize the corpus
+    through one executor thread, so the scan range-partitions on an
+    integer-exact composite key ((1e6 − quality·1e6)·1e13 + doc_id —
+    quality DESC, doc_id ASC as one BIGINT) and offsets per-partition
+    windows with the ≤32-row boundary join. The budget itself is one
+    broadcast scalar. Catalyst prunes the profile's unused fingerprint
+    column out of the scan (only quality/n_tokens are referenced).
+    Checkpoint rule: bench-ineligible (the prefix scan pins its range
+    boundaries with a lazy checkpoint)."""
+    from ..operators.prefix import global_running_agg
+    from ..operators.text import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = text_profile(docs, "doc_id", "text", fingerprint_hash="xxhash64").select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+    keyed = prof.withColumn(
+        "okey",
+        (F.lit(1000000) - F.round(F.col("quality") * 1000000).cast("long"))
+        * F.lit(10000000000000)
+        + F.col("doc_id"),
+    )
+    cum = global_running_agg(
+        keyed, "okey", {"cum_tokens": ("n_tokens", "sum")}, inclusive=True
+    )
+    tot = keyed.agg(F.sum("n_tokens").alias("t"))
+    return (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("cum_tokens") <= F.expr("t div 2"))
+        .select("doc_id", "quality", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
