@@ -81,6 +81,7 @@ CASES = [
     "sparse_shingle_cosine_pairs",   # df-capped candidates + rounded cosine (r6)
     "token_budget_selection",        # integer-keyed prefix scan + integer budget (r6)
     "contrastive_negative_samples",  # md5-derived negatives, anti-join, j-rank (r6)
+    "kcore_peeling",                 # integer degree-peel rounds (r6)
 ]
 
 

@@ -401,3 +401,89 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("size").desc(), F.col("community").asc())
         .limit(20)
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    head = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    e0 AS (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+    )"""
+    parts = [head]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(f""",
+    d{r} AS (SELECT n, count(*) AS d
+             FROM (SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev})
+             GROUP BY n),
+    s{r} AS (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
+    e{r} AS (SELECT p.a, p.b FROM {prev} p
+             JOIN s{r} x ON x.n = p.a JOIN s{r} y ON y.n = p.b),
+    r{r} AS (SELECT {r} AS round,
+                    (SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS n_nodes,
+                    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM s{r}) AS sum_ids,
+                    (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges)""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{r}" for r in range(1, _KCORE_ROUNDS + 1))
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@query("kcore_peeling", oracle=_kcore_oracle())
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peeling (k=3, 3 rounds) over the co-purchase
+    graph: each round drops every node whose CURRENT degree is < k and
+    restricts the edge set to surviving endpoints — the standard
+    "dense-core extraction" primitive (spam/boilerplate hub detection,
+    community seeding) beside BFS/LPA/PageRank in the iterative family.
+    Emits (round, n_nodes, sum_ids, n_edges) per round, integer-exact;
+    the oracle replays the identical unrolled peel.
+
+    Scale shape: the same one-year co-purchase edge builder as
+    triangle/BFS/LPA (checkpointed once — static-relation rule), then per
+    round one endpoint-union degree aggregate (map-combinable, shuffle
+    carries ≤|nodes| rows) and two LEFT SEMI joins on the survivor set,
+    with the shrinking edge set lazily DISK_ONLY-checkpointed per round
+    (each round's edges feed the next round's degrees, its own stats, and
+    the restriction — 3 consumers; and un-checkpointed lazy composition
+    would re-inline round k−1's joins at every consumer, the (n²)^k
+    iterative-HOF lesson)."""
+    e = (
+        co_purchase_pairs(co_purchase_op(spark, sf_dir))
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= _KCORE_K).select("n").localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
+        e = (
+            e.join(surv.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(surv.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        stats = surv.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("sum_ids"),
+        ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        rows.append(stats.select(F.lit(r).alias("round"), "n_nodes", "sum_ids", "n_edges"))
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionAll(x)
+    return out
