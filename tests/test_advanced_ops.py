@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from traderjoe_etl_spark.operators.aggregates import argmax_rows
-from traderjoe_etl_spark.operators.similarity import cosine_topk_brute, ivf_assign, ivf_topk
+from traderjoe_etl_spark.operators.similarity import ivf_assign, ivf_topk
 from traderjoe_etl_spark.operators.skew import salted_group_agg, salted_join
 from traderjoe_etl_spark.sources.tables import read_table
 

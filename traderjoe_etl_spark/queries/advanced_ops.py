@@ -21,7 +21,7 @@ from . import query
 # pure waste, exactly like re-training an IVF index per query in Faiss.
 # Keyed by session + corpus dir; deterministic, so a rebuild would produce
 # the identical index.
-_IVF_INDEX: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_IVF_INDEX: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 @query("ivf_cosine_topk")  # rows-only: centroid seeding is engine-defined
@@ -45,7 +45,9 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    key = (id(spark), sf_dir)
+    # applicationId key: a GC'd session's id() can be reused by a new
+    # session, serving a DataFrame bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX:
         _IVF_INDEX[key] = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
     assigned, centroids = _IVF_INDEX[key]
@@ -457,7 +459,9 @@ def ivf_full_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    key = (id(spark), sf_dir)
+    # applicationId key: a GC'd session's id() can be reused by a new
+    # session, serving a DataFrame bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX:
         _IVF_INDEX[key] = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
     assigned, centroids = _IVF_INDEX[key]

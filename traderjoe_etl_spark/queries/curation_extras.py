@@ -486,7 +486,7 @@ def _token_budget_oracle() -> str:
     WITH prof AS ({_text_profile_oracle()}),
     keyed AS (
         SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
-               (1000000 - CAST(round(quality * 1000000) AS BIGINT)) * 10000000000000
+               (1000000 - CAST(round(quality * 1000000) AS BIGINT)) * 10000000000
                    + doc_id AS okey
         FROM prof
     ),
@@ -495,7 +495,7 @@ def _token_budget_oracle() -> str:
                sum(n_tokens) OVER (ORDER BY okey) AS cum_tokens
         FROM keyed
     ),
-    tot AS (SELECT sum(n_tokens) AS t FROM keyed)
+    tot AS (SELECT max(cum_tokens) AS t FROM cum)
     SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum, tot WHERE cum_tokens <= tot.t // 2
     """
@@ -514,11 +514,16 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/prefix.global_running_agg — consumer #5): a global
     ``sum OVER (ORDER BY …)`` in one task would serialize the corpus
     through one executor thread, so the scan range-partitions on an
-    integer-exact composite key ((1e6 − quality·1e6)·1e13 + doc_id —
-    quality DESC, doc_id ASC as one BIGINT) and offsets per-partition
-    windows with the ≤32-row boundary join. The budget itself is one
-    broadcast scalar. Catalyst prunes the profile's unused fingerprint
-    column out of the scan (only quality/n_tokens are referenced).
+    integer-exact composite key ((1e6 − quality·1e6)·1e10 + doc_id —
+    quality DESC, doc_id ASC as one BIGINT; the 1e10 doc_id headroom
+    keeps the worst case 1e6·1e10 = 1e16 ≪ int64, where a 1e13
+    multiplier overflowed for quality ≤ 0.078 — exactly the junk docs
+    this query exists to prune) and offsets per-partition windows with
+    the ≤32-row boundary join. The budget scalar is the MAX inclusive
+    prefix (= the corpus total), aggregated over the scan's checkpointed
+    output — not a second corpus-scale tokenize pass. Catalyst prunes the
+    profile's unused fingerprint column out of the scan (only
+    quality/n_tokens are referenced).
     Checkpoint rule: bench-ineligible (the prefix scan pins its range
     boundaries with a lazy checkpoint)."""
     from ..operators.prefix import global_running_agg
@@ -531,13 +536,13 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = prof.withColumn(
         "okey",
         (F.lit(1000000) - F.round(F.col("quality") * 1000000).cast("long"))
-        * F.lit(10000000000000)
+        * F.lit(10000000000)
         + F.col("doc_id"),
     )
     cum = global_running_agg(
         keyed, "okey", {"cum_tokens": ("n_tokens", "sum")}, inclusive=True
     )
-    tot = keyed.agg(F.sum("n_tokens").alias("t"))
+    tot = cum.agg(F.max("cum_tokens").alias("t"))
     return (
         cum.join(F.broadcast(tot))
         .filter(F.col("cum_tokens") <= F.expr("t div 2"))

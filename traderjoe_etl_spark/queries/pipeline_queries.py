@@ -29,7 +29,7 @@ RUN_TS = datetime(2026, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
 N_POOLS = 5
 
 # analyzed-plan reuse across invocations (see snapshot_pipeline docstring)
-_PLAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _synth_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, SnapshotInputs]:
@@ -295,7 +295,9 @@ def snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every hour (main.py:353-359); re-analyzing the same 46-column DAG per
     # cycle is ~1s of pure driver time. DataFrames are immutable — reusing
     # the analyzed plan re-executes it fresh on every action.
-    key = (id(spark), sf_dir)
+    # applicationId key: a GC'd session's id() can be reused by a new
+    # session, serving a DataFrame bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PLAN_CACHE:
         pairs, inputs = _synth_inputs(spark, sf_dir)
         snap = build_snapshot(pairs, inputs, RUN_TS, strict_repr=True)

@@ -757,12 +757,15 @@ _DEDUP_CLUSTERS_ORACLE = r"""
 # candidates → exact Jaccard ≥ 0.8), which was ~40% of the pair's 53 s at
 # sf10 when each recomputed it (VERDICT r4 item 7 / r5 item 3). The
 # verified-pairs relation is tiny (near-dup pairs, not documents), so a
-# lazy DISK_ONLY localCheckpoint pins it once per (session, corpus);
+# lazy DISK_ONLY localCheckpoint pins it once per (application, corpus);
 # deterministic, so a rebuild would produce the identical pairs — the same
 # index-cache rule as advanced_ops._IVF_INDEX. Both consumers stay
 # bench-ineligible per the checkpoint rule (the checkpoint would hide the
-# candidate+verify phase from re-execution timers).
-_NEAR_DUP_PAIRS: dict[tuple[int, str], DataFrame] = {}
+# candidate+verify phase from re-execution timers). Keyed by
+# applicationId, not id(spark): a GC'd session's memory address can be
+# reused by a NEW session, which would serve a DataFrame bound to a dead
+# SparkContext.
+_NEAR_DUP_PAIRS: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,7 +773,7 @@ def _verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEAR_DUP_PAIRS:
         docs = _t(spark, sf_dir, "documents")
         cand = minhash_lsh_candidates(docs, "doc_id", "text")
