@@ -81,6 +81,13 @@ HEADLINE = [
     "gopher_quality_rules",
     "poisson_bootstrap_ci",
     "multi_touch_attribution",
+    # r6: flagship per new family — diversity report, sparse inverted-index
+    # similarity, deterministic epoch shuffle. All checkpoint-free lazy
+    # plans (token_budget_selection and kcore_peeling are checkpoint-bound
+    # and therefore ineligible).
+    "distinct_ngram_diversity",
+    "sparse_shingle_cosine_pairs",
+    "epoch_shuffle_order",
 ]
 
 # Twins excluded from the throughput comparison (none currently: since the
