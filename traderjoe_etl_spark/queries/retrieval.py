@@ -687,23 +687,25 @@ _SH3_SQL = (
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
     sh AS (
-        SELECT doc_id, s, count(*) AS tf FROM (
-            SELECT doc_id, unnest({_SH3_SQL}) AS s
-            FROM toks WHERE len(w) >= 3
-        ) GROUP BY doc_id, s
+        SELECT doc_id, sk, count(*) AS tf FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS sk
+            FROM (SELECT doc_id, unnest({_SH3_SQL}) AS s
+                  FROM toks WHERE len(w) >= 3)
+        ) GROUP BY doc_id, sk
     ),
-    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    df AS (SELECT sk, count(*) AS df FROM sh GROUP BY sk),
     n AS (SELECT count(*) AS n_docs FROM documents),
     w AS (
-        SELECT sh.doc_id, sh.s,
+        SELECT sh.doc_id, sh.sk,
                sh.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS wt
-        FROM sh JOIN df USING (s) CROSS JOIN n
+        FROM sh JOIN df USING (sk) CROSS JOIN n
         WHERE df.df <= {_SPARSE_DF_CAP}
     ),
     nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nm FROM w GROUP BY doc_id),
     dot AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS d
-        FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM w a JOIN w b ON a.sk = b.sk AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT dot.id_a, dot.id_b,
@@ -721,7 +723,11 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs with cosine ≥ 0.4 in the DISCRIMINATIVE subspace (shingles
     with df ≤ 16; higher-df shingles are boilerplate by definition and are
     excluded from both the dot products and the norms, so the score is
-    exactly the cosine of the df-capped tf-idf vectors).
+    exactly the cosine of the df-capped tf-idf vectors). The shingle is
+    FEATURE-HASHED to a portable 60-bit key (md5 15-hex prefix — the
+    minhash portable-family trick) before any shuffle: tf/df/weights all
+    key on the hash in BOTH engines, so the rare collision merges the
+    same two shingles on both sides and parity is exact by construction.
 
     Scale shape (the df-cut member of the AllPairs/prefix-filter family,
     Bayardo et al. WWW'07): ONE postings self-join on the shingle, so
@@ -734,7 +740,18 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation reduces to one row per colliding pair, and norms are one
     map-combinable pass over the capped postings. Joins are pinned
     sort-merge: the exploded postings sides defeat AQE's size estimates,
-    and none is broadcastable at corpus scale."""
+    and none is broadcastable at corpus scale.
+
+    Two further sf100 lessons baked in: (1) carrying the shingle STRING
+    through the shuffles put ~30-char keys in every sort row — 32
+    concurrent sort-merge tasks exhausted the execution-memory pool
+    (UNABLE_TO_ACQUIRE_MEMORY at 64 KB granularity); the 8-byte hashed
+    key shrinks every exchanged row ~4×. (2) The postings self-join is
+    explicitly repartition(256)-ed on the key: at 160 GB corpus scale the
+    session's 32 shuffle partitions give ~8M-posting sort tasks, and 32
+    of those sorting concurrently in one stage thrash the pool; 256-way
+    gives ~1M-row tasks (AQE coalesces the small ones right back at
+    sf≤1, so the small-scale cost is one exchange header)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
@@ -750,18 +767,24 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .groupBy("doc_id", "s")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("sk"),
+        )
+        .groupBy("doc_id", "sk")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    df = sh.groupBy("sk").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
-        sh.join(df.hint("merge"), "s")
+        sh.join(df.hint("merge"), "sk")
         .filter(F.col("df") <= _SPARSE_DF_CAP)
         .join(F.broadcast(n))
         .select(
             "doc_id",
-            "s",
+            "sk",
             (
                 F.col("tf")
                 * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
@@ -769,9 +792,10 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
+    wr = w.repartition(256, "sk")
     dot = (
-        w.alias("a")
-        .join(w.alias("b").hint("merge"), "s")
+        wr.alias("a")
+        .join(wr.alias("b").hint("merge"), "sk")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
