@@ -687,12 +687,10 @@ _SH3_SQL = (
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
     sh AS (
-        SELECT doc_id, sk, count(*) AS tf FROM (
-            SELECT doc_id,
-                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS sk
-            FROM (SELECT doc_id, unnest({_SH3_SQL}) AS s
-                  FROM toks WHERE len(w) >= 3)
-        ) GROUP BY doc_id, sk
+        SELECT doc_id, s AS sk, count(*) AS tf FROM (
+            SELECT doc_id, unnest({_SH3_SQL}) AS s
+            FROM toks WHERE len(w) >= 3
+        ) GROUP BY doc_id, s
     ),
     df AS (SELECT sk, count(*) AS df FROM sh GROUP BY sk),
     n AS (SELECT count(*) AS n_docs FROM documents),
@@ -723,11 +721,17 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs with cosine ≥ 0.4 in the DISCRIMINATIVE subspace (shingles
     with df ≤ 16; higher-df shingles are boilerplate by definition and are
     excluded from both the dot products and the norms, so the score is
-    exactly the cosine of the df-capped tf-idf vectors). The shingle is
-    FEATURE-HASHED to a portable 60-bit key (md5 15-hex prefix — the
-    minhash portable-family trick) before any shuffle: tf/df/weights all
-    key on the hash in BOTH engines, so the rare collision merges the
-    same two shingles on both sides and parity is exact by construction.
+    exactly the cosine of the df-capped tf-idf vectors). Engine-side the
+    shingle is FEATURE-HASHED to xxhash64 before any shuffle — the key
+    never reaches the output, so the oracle keys on the raw string and
+    still compares exactly: grouping by hash(s) equals grouping by s
+    unless two distinct shingles collide in 64 bits (P ≈ n²/2^65 —
+    ~1e-11 at oracle scale; at larger corpora a collision merges two
+    shingles' counts, noise far below the df-cap's own approximation).
+    A portable-md5 key was tried and rejected: Spark's
+    conv(substring(md5)) chain cost ~0.9 s/5k docs where xxhash64 is
+    codegen-free, and cross-engine hash-value replay buys nothing when
+    the hash is internal.
 
     Scale shape (the df-cut member of the AllPairs/prefix-filter family,
     Bayardo et al. WWW'07): ONE postings self-join on the shingle, so
@@ -747,12 +751,24 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent sort-merge tasks exhausted the execution-memory pool
     (UNABLE_TO_ACQUIRE_MEMORY at 64 KB granularity); the 8-byte hashed
     key shrinks every exchanged row ~4×. (2) The postings self-join is
-    explicitly repartition(256)-ed on the key: at 160 GB corpus scale the
-    session's 32 shuffle partitions give ~8M-posting sort tasks, and 32
-    of those sorting concurrently in one stage thrash the pool; 256-way
-    gives ~1M-row tasks (AQE coalesces the small ones right back at
-    sf≤1, so the small-scale cost is one exchange header)."""
+    explicitly repartitioned on the key with a CORPUS-SCALED width
+    (one partition per ~2k docs, 32..1024): at 160 GB the session's 32
+    shuffle partitions give ~8M-posting sort tasks and 32 of those
+    sorting concurrently in one stage thrash the pool, while a blanket
+    256-way tripled the sf0.1 bench time in scheduling overhead — the
+    width must follow the data. At or below the session default the
+    repartition doubles as the join's own exchange (same key), so small
+    corpora pay nothing."""
     docs = _t(spark, sf_dir, "documents")
+    # join width scales with the corpus (parquet-footer count at plan
+    # build, the embedding_cosine_near_dups precedent): 32-way is fine to
+    # ~100k docs but 32 concurrent ~8M-posting sort tasks exhaust the
+    # execution-memory pool at 5M docs; one partition per ~2k docs keeps
+    # each concurrent sort ~1M rows. At or below the session default the
+    # repartition IS the join's required exchange (same key), so small
+    # corpora pay nothing extra.
+    n_docs = docs.count()
+    join_parts = max(32, min(1024, n_docs // 2000))
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= 3)
@@ -767,12 +783,18 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-            ).alias("sk"),
-        )
+        .select("doc_id", F.xxhash64("s").alias("sk"))
+        # pre-partition on the EXACT group key before aggregating: the
+        # default map-side partial agg holds a per-task hash map over
+        # ~8M exploded postings at sf100, falls back to sort-based
+        # spill, and the two concurrent evaluations of this subtree
+        # (df branch + weights branch — Spark does not CSE them) race
+        # each other out of the execution-memory pool. The exchange
+        # satisfies the groupBy's required distribution, so the agg
+        # runs reduce-side in join_parts small tasks instead; map-side
+        # combine loses nothing because shingles are mostly unique per
+        # document (tf ≈ 1).
+        .repartition(join_parts, "doc_id", "sk")
         .groupBy("doc_id", "sk")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -792,7 +814,7 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
-    wr = w.repartition(256, "sk")
+    wr = w.repartition(join_parts, "sk")
     dot = (
         wr.alias("a")
         .join(wr.alias("b").hint("merge"), "sk")
