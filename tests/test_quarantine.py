@@ -101,3 +101,20 @@ def test_quarantine_empty_side_epoch_is_readable(spark, tmp_path):
     route_batch(docs, 3, str(tmp_path / "clean"), str(tmp_path / "quar"))
     assert spark.read.parquet(str(tmp_path / "clean") + "/epoch=*").count() == 0
     assert spark.read.parquet(str(tmp_path / "quar") + "/epoch=*").count() == 5
+
+
+def test_route_batch_rejects_reserved_columns_case_insensitively(spark, tmp_path):
+    """The router must refuse inputs whose columns collide with
+    kernel-internal names BEFORE any scoring — including case variants,
+    because Spark column resolution is case-insensitive by default (an
+    input named 'WC' or 'Failed_Rules' would produce ambiguous columns
+    mid-stream just the same; ADVICE r5)."""
+    import pytest
+
+    for bad in ("wc", "WC", "Failed_Rules", "F_STOP"):
+        df = spark.createDataFrame(
+            [(1, "some document text here", "x")],
+            f"doc_id long, text string, `{bad}` string",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            route_batch(df, 0, str(tmp_path / "c"), str(tmp_path / "q"))

@@ -397,3 +397,33 @@ def test_global_running_agg_property(spark):
         assert list(got.rmax) == list(ser.cummax())
 
     prop()
+
+
+def test_token_budget_order_key_is_int64_safe_and_monotone(spark):
+    """Regression pin for the r6 /code-review finding: the composite
+    (quality DESC, doc_id ASC) BIGINT order key must stay inside int64
+    over the FULL quality range [0, 1] (the 1e13 multiplier overflowed —
+    under ANSI mode a crash, otherwise junk docs silently sorted FIRST),
+    and must order exactly like (-quality, doc_id)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, q)
+        for i, q in enumerate(
+            [0.0, 0.000001, 0.05, 0.0776, 0.078, 0.5, 0.999999, 1.0]
+        )
+    ] + [(10**9, 0.0)]  # big doc_id at worst-case quality
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    keyed = df.withColumn(
+        "okey",
+        (F.lit(1000000) - F.round(F.col("quality") * 1000000).cast("long"))
+        * F.lit(10000000000)
+        + F.col("doc_id"),
+    )
+    got = [
+        (r.doc_id, r.quality)
+        for r in keyed.orderBy("okey").collect()  # would raise under ANSI on overflow
+    ]
+    expected = sorted(rows, key=lambda t: (-t[1], t[0]))
+    assert got == [(d, q) for d, q in expected]
+    assert all(abs(r.okey) < 2**63 - 1 for r in keyed.collect())
