@@ -82,6 +82,8 @@ CASES = [
     "token_budget_selection",        # integer-keyed prefix scan + integer budget (r6)
     "contrastive_negative_samples",  # md5-derived negatives, anti-join, j-rank (r6)
     "kcore_peeling",                 # integer degree-peel rounds (r6)
+    "interarrival_burstiness",       # integer gaps + rounded moments (r6)
+    "zipf_slope_by_source",          # vocab-bounded rank + rounded OLS (r6)
 ]
 
 

@@ -617,3 +617,66 @@ def cumulative_unique_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         "new_users",
         F.col("cum_users").cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+@query(
+    "interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               avg(gap) AS mu,
+               stddev_pop(gap) AS sigma
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING count(gap) >= 2
+    )
+    SELECT user_id, n_gaps,
+           round(mu, 4) AS mean_gap_s,
+           round((sigma - mu) / (sigma + mu), 6) AS burstiness
+    FROM s WHERE sigma + mu > 0
+    """,
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival BURSTINESS B = (σ−μ)/(σ+μ) over event gap
+    seconds (Goh & Barabási 2008, EPL 81): B → −1 for a metronome,
+    ≈ 0 for a Poisson user, → +1 for extreme burst-silence behavior —
+    the standard temporal-pattern feature for bot detection and
+    engagement modeling.
+
+    Plan shape: one lag window over per-user partitions (bounded by a
+    user's event count, never corpus-wide) whose hash partitioning is
+    reused by the following groupBy on the same key — one shuffle total,
+    the OHLC shape. Gaps are integer epoch seconds (both engines FLOOR
+    the timestamp — the twap_daily rounding lesson); μ and σ are the
+    only floats, rounded on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.avg("gap").alias("mu"),
+            F.stddev_pop("gap").alias("sigma"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    return s.filter(F.col("sigma") + F.col("mu") > 0).select(
+        "user_id",
+        "n_gaps",
+        F.round("mu", 4).alias("mean_gap_s"),
+        F.round((F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6).alias(
+            "burstiness"
+        ),
+    )

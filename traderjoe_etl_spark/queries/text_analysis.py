@@ -1034,3 +1034,82 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@query(
+    "zipf_slope_by_source",
+    oracle=r"""
+    WITH tf AS (
+        SELECT source, w AS term, count(*) AS c
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source,
+               ln(CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY c DESC, term) AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM tf
+    ),
+    m AS (SELECT source, avg(x) AS mx, avg(y) AS my,
+                 CAST(count(*) AS BIGINT) AS vocab
+          FROM ranked GROUP BY source)
+    SELECT r.source, m.vocab,
+           round(sum((r.x - m.mx) * (r.y - m.my)) / sum((r.x - m.mx) * (r.x - m.mx)), 6)
+               AS zipf_slope
+    FROM ranked r JOIN m ON m.source = r.source
+    GROUP BY r.source, m.vocab
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(frequency) over
+    ln(rank) across the source's token frequency table — natural text
+    sits near −1; template/generated sources drift toward flat (0) or
+    cliff-like (≪−1) curves, making the slope a cheap corpus-level
+    quality fingerprint (Zipf 1949; Piantadosi 2014 review).
+
+    Plan shape: the frequency table is one exploded partial-agg pass
+    (shuffle carries (source, term) counts, |vocab|-scale); ranking is a
+    window over per-SOURCE partitions of vocab size — bounded by the
+    vocabulary, not the corpus, so the window never sees corpus-scale
+    rows (ranks tie-break on the term for determinism); the OLS slope is
+    two map-combinable aggregate passes over those vocab-sized ranks
+    (means, then centered products). ln() is the only transcendental —
+    6-dp rounding on both sides absorbs libm ulps."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "term")
+    ranked = tf.select(
+        "source",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = ranked.groupBy("source").agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    return (
+        ranked.join(F.broadcast(m), "source")
+        .groupBy("source", "vocab")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+                / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))),
+                6,
+            ).alias("zipf_slope")
+        )
+    )
