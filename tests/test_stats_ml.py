@@ -404,8 +404,18 @@ def test_token_budget_order_key_is_int64_safe_and_monotone(spark):
     (quality DESC, doc_id ASC) BIGINT order key must stay inside int64
     over the FULL quality range [0, 1] (the 1e13 multiplier overflowed —
     under ANSI mode a crash, otherwise junk docs silently sorted FIRST),
-    and must order exactly like (-quality, doc_id)."""
-    from pyspark.sql import functions as F
+    and must order exactly like (-quality, doc_id). Exercises the
+    PRODUCTION quality_order_key expression and its multiplier constant,
+    so a revert of either is caught."""
+    from traderjoe_etl_spark.queries.curation_extras import (
+        _BUDGET_KEY_MULT,
+        quality_order_key,
+    )
+
+    # static overflow bound on the PRODUCTION constant: worst case is
+    # quality=0 (factor 1e6) at a huge doc_id — a revert to the old 1e13
+    # multiplier fails here immediately
+    assert 1_000_000 * _BUDGET_KEY_MULT + 10**9 < 2**63 - 1
 
     rows = [
         (i, q)
@@ -414,16 +424,11 @@ def test_token_budget_order_key_is_int64_safe_and_monotone(spark):
         )
     ] + [(10**9, 0.0)]  # big doc_id at worst-case quality
     df = spark.createDataFrame(rows, "doc_id long, quality double")
-    keyed = df.withColumn(
-        "okey",
-        (F.lit(1000000) - F.round(F.col("quality") * 1000000).cast("long"))
-        * F.lit(10000000000)
-        + F.col("doc_id"),
-    )
+    # the PRODUCTION key expression, not a local re-implementation
+    keyed = df.withColumn("okey", quality_order_key())
     got = [
         (r.doc_id, r.quality)
         for r in keyed.orderBy("okey").collect()  # would raise under ANSI on overflow
     ]
     expected = sorted(rows, key=lambda t: (-t[1], t[0]))
     assert got == [(d, q) for d, q in expected]
-    assert all(abs(r.okey) < 2**63 - 1 for r in keyed.collect())

@@ -501,6 +501,22 @@ def _token_budget_oracle() -> str:
     """
 
 
+#: doc_id headroom of the composite (quality DESC, doc_id ASC) order key;
+#: worst case (quality=0, doc_id=1e9) is 1e6·1e10 + 1e9 ≈ 1e16 ≪ 2^63 —
+#: pinned by tests/test_stats_ml.py against THIS constant (a 1e13
+#: multiplier overflowed int64 for quality ≤ 0.078).
+_BUDGET_KEY_MULT = 10_000_000_000
+
+
+def quality_order_key() -> "F.Column":
+    """The integer-exact composite prefix-scan key used by
+    token_budget_selection: (1e6 − round(quality·1e6))·1e10 + doc_id ==
+    ORDER BY quality DESC, doc_id ASC as one BIGINT."""
+    return (
+        F.lit(1000000) - F.round(F.col("quality") * 1000000).cast("long")
+    ) * F.lit(_BUDGET_KEY_MULT) + F.col("doc_id")
+
+
 @query("token_budget_selection", oracle=_token_budget_oracle())
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first curation under a global TOKEN BUDGET: rank the corpus
@@ -533,12 +549,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = text_profile(docs, "doc_id", "text", fingerprint_hash="xxhash64").select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
     )
-    keyed = prof.withColumn(
-        "okey",
-        (F.lit(1000000) - F.round(F.col("quality") * 1000000).cast("long"))
-        * F.lit(10000000000)
-        + F.col("doc_id"),
-    )
+    keyed = prof.withColumn("okey", quality_order_key())
     cum = global_running_agg(
         keyed, "okey", {"cum_tokens": ("n_tokens", "sum")}, inclusive=True
     )

@@ -760,15 +760,18 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition doubles as the join's own exchange (same key), so small
     corpora pay nothing."""
     docs = _t(spark, sf_dir, "documents")
-    # join width scales with the corpus (parquet-footer count at plan
-    # build, the embedding_cosine_near_dups precedent): 32-way is fine to
-    # ~100k docs but 32 concurrent ~8M-posting sort tasks exhaust the
-    # execution-memory pool at 5M docs; one partition per ~2k docs keeps
-    # each concurrent sort ~1M rows. At or below the session default the
-    # repartition IS the join's required exchange (same key), so small
-    # corpora pay nothing extra.
-    n_docs = docs.count()
-    join_parts = max(32, min(1024, n_docs // 2000))
+    # join width scales with the corpus via a FILESYSTEM stat (no Spark
+    # job — the plan stays fully lazy, preserving bench headline
+    # eligibility; an eager docs.count() at build was hidden work the
+    # prepared-statement timer never saw): 32-way is fine to ~100k docs
+    # but 32 concurrent ~8M-posting sort tasks exhaust the
+    # execution-memory pool at 5M docs; one partition per ~1 MB of raw
+    # documents keeps each concurrent sort bounded. At or below the
+    # session default the repartition IS the join's required exchange
+    # (same key), so small corpora pay nothing extra.
+    from ..sources.tables import table_bytes
+
+    join_parts = max(32, min(1024, table_bytes(sf_dir, "documents") // (1 << 20)))
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= 3)

@@ -1056,7 +1056,8 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (SELECT source, avg(x) AS mx, avg(y) AS my,
                  CAST(count(*) AS BIGINT) AS vocab
-          FROM ranked GROUP BY source)
+          FROM ranked GROUP BY source
+          HAVING count(*) >= 2)
     SELECT r.source, m.vocab,
            round(sum((r.x - m.mx) * (r.y - m.my)) / sum((r.x - m.mx) * (r.x - m.mx)), 6)
                AS zipf_slope
@@ -1075,10 +1076,15 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle carries (source, term) counts, |vocab|-scale); ranking is a
     window over per-SOURCE partitions of vocab size — bounded by the
     vocabulary, not the corpus, so the window never sees corpus-scale
-    rows (ranks tie-break on the term for determinism); the OLS slope is
-    two map-combinable aggregate passes over those vocab-sized ranks
-    (means, then centered products). ln() is the only transcendental —
-    6-dp rounding on both sides absorbs libm ulps."""
+    rows (ranks tie-break on the term for determinism); the per-source
+    means ride a SECOND window over the SAME source partitioning, so
+    Spark plans both windows behind one exchange and the corpus-scale
+    tokenize/explode subtree is evaluated ONCE — the aggregate-then-join
+    form re-ran it for the means relation (the no-CSE
+    twice-referenced-subtree pitfall). Single-term sources are excluded
+    (vocab ≥ 2, both engines): one rank gives Sxx = 0 and 0/0 diverges
+    across engines (Spark NULL vs DuckDB IEEE NaN). ln() is the only
+    transcendental — 6-dp rounding on both sides absorbs libm ulps."""
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -1097,19 +1103,19 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.row_number().over(w).cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
-    m = ranked.groupBy("source").agg(
-        F.avg("x").alias("mx"),
-        F.avg("y").alias("my"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-    )
-    return (
-        ranked.join(F.broadcast(m), "source")
-        .groupBy("source", "vocab")
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-                / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))),
-                6,
-            ).alias("zipf_slope")
-        )
+    wsrc = Window.partitionBy("source")
+    centered = ranked.select(
+        "source",
+        "x",
+        "y",
+        F.avg("x").over(wsrc).alias("mx"),
+        F.avg("y").over(wsrc).alias("my"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias("vocab"),
+    ).filter(F.col("vocab") >= 2)
+    return centered.groupBy("source", "vocab").agg(
+        F.round(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))),
+            6,
+        ).alias("zipf_slope")
     )
