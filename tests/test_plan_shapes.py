@@ -281,3 +281,33 @@ def test_gopher_rules_map_only(spark, qs):
     f = plan_facts(qs["gopher_quality_rules"](spark, SF))
     assert "Window" not in f.operators
     assert "regexp_replace" not in f.text.lower()
+
+
+def test_cosine_topk_single_job_per_execution(spark, qs):
+    """cosine_topk re-executions must be ONE job with no Python workers at
+    small scale (VERDICT r6 item 4: the old broadcast-subquery form paid a
+    second job dispatch per execution — 6.7x DuckDB at sf1 in pure
+    scheduling). The cached query bank is inlined as a constant literal,
+    so the plan is a single codegen scan into TakeOrderedAndProject."""
+    df = qs["cosine_topk"](spark, SF)
+    f = plan_facts(df)
+    assert "TakeOrderedAndProject" in f.operators
+    assert f.n_exchanges == 0, "single-stage plan: no shuffle anywhere"
+    # no Python evaluation in the small-corpus plan (const-literal path)
+    assert "ArrowEvalPython" not in f.operators and "MapInArrow" not in f.text
+    df.collect()  # warm
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    df.collect()
+    after = len(st.getJobIdsForGroup(None) or [])
+    assert after - before == 1, f"expected exactly 1 job/execution, got {after - before}"
+
+
+def test_cosine_topk_batch_kernel_prunes(spark, qs):
+    """cosine_topk_batch: the arrow kernel must prune in-kernel (the
+    exchange downstream carries ~k rows per query-batch, never the
+    corpus x Q product) and the final rank must be a WindowGroupLimit-
+    eligible row_number filter."""
+    f = plan_facts(qs["cosine_topk_batch"](spark, SF))
+    assert "MapInArrow" in f.text or "MapInArrow" in f.operators
+    assert f.n_exchanges <= 1

@@ -1,0 +1,69 @@
+"""Session-scoped plan/index caches (the shared pattern behind
+``_NEAR_DUP_PAIRS`` / ``_IVF_INDEX`` / ``_PLAN_CACHE`` / the cosine
+query-bank cache).
+
+Several queries pin a deterministic, expensive-to-build artifact — a
+checkpointed pair relation, an IVF index, a collected query bank — so
+repeated plan builds within one session reuse it. The raw
+``dict[(applicationId, sf_dir)]`` pattern had two documented hazards
+(ADVICE r6):
+
+1. ``SparkSession.newSession()`` shares the applicationId but NOT conf or
+   temp state, so an applicationId-keyed DataFrame could be served to a
+   *different* session of the same application. ``get_df`` therefore
+   verifies the cached plan's owning session by IDENTITY
+   (``df.sparkSession is spark``) and rebuilds on mismatch — exact, no
+   id()-reuse false positives.
+2. Unbounded growth across sessions/corpora: entries keyed by dead
+   applications can never be served again. ``get_df`` evicts every entry
+   whose applicationId differs from the caller's before inserting.
+
+Entries for *multiple corpora within one live session* are kept (the
+oracle sweep and bench legitimately interleave sf dirs); they are
+bounded by the number of distinct sf dirs a session touches, each entry
+being a plan handle / kilobyte-scale index, not data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def get_df(
+    cache: dict[tuple[str, str], Any],
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[], Any],
+    df_of: Callable[[Any], DataFrame] = lambda v: v,
+) -> Any:
+    """Fetch-or-build a session-scoped cached value whose payload is (or
+    contains) a DataFrame. ``df_of`` extracts a representative DataFrame
+    from composite payloads (e.g. an ``(assigned, centroids)`` tuple) for
+    the session-identity check."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = cache.get(key)
+    if hit is None or df_of(hit).sparkSession is not spark:
+        for k in [k for k in cache if k[0] != key[0]]:
+            del cache[k]
+        cache[key] = build()
+    return cache[key]
+
+
+def get_value(
+    cache: dict[tuple[str, str], Any],
+    spark: SparkSession,
+    key_suffix: str,
+    build: Callable[[], Any],
+) -> Any:
+    """Fetch-or-build a session-scoped cached PLAIN value (numpy arrays,
+    python objects — nothing bound to a SparkContext, so no liveness check
+    is needed; the applicationId key only scopes eviction)."""
+    key = (spark.sparkContext.applicationId, key_suffix)
+    if key not in cache:
+        for k in [k for k in cache if k[0] != key[0]]:
+            del cache[k]
+        cache[key] = build()
+    return cache[key]

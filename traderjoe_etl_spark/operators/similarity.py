@@ -65,8 +65,28 @@ def cosine_topk_brute(
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
     impl: str = "hof",
+    cache_key: str | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against a single-row query DataFrame.
+    ``round_digits`` ranks by the ROUNDED score (ties broken by id) so
+    cross-engine comparisons share one grid; the emitted ``cosine`` stays
+    raw (callers round for display).
+
+    Three physical strategies, same result:
+
+    - ``impl="const"`` — the query vector is collected (cached via
+      ``cache_key``) and INLINED as a constant-array literal, so scoring
+      is one pure-JVM codegen scan into TakeOrderedAndProject: a single
+      job with no broadcast subquery and no Python workers. The fastest
+      small-corpus form (measured sf1: 0.060 s/execution vs 0.122 hof —
+      the hof form pays a second job dispatching the broadcast subquery —
+      vs 0.15 arrow, which pays a Python-worker round trip per task).
+    - ``impl="arrow"`` — numpy GEMM kernel with in-kernel top-k pruning;
+      wins once interpreted-HOF cost dominates dispatch (big corpora,
+      many queries).
+    - ``impl="hof"`` — broadcast-join zip_with/aggregate; the portable
+      fallback (works with a multi-row query relation, no collect).
 
     The scan stays shuffle-free either way; orderBy + limit plans
     TakeOrderedAndProject (per-partition heaps), deterministic tie-break
@@ -76,11 +96,24 @@ def cosine_topk_brute(
     arrow 0.67 vs hof 0.41 s at sf0.1; 0.82 vs 0.96 at sf10).
     ``impl="arrow"`` scores each Arrow batch with one numpy matvec — use
     it for big corpora or many queries (cosine_topk_batch defaults to it)."""
-    if impl == "arrow":
+    if impl == "const":
         q = query.select(F.lit(-1).cast("long").alias("__qid"), F.col(query_vec_col))
-        q_ids, Q = _collect_query_bank(q, "__qid", query_vec_col)
+        q_ids, Q = _collect_query_bank(q, "__qid", query_vec_col, cache_key=cache_key)
+        if len(q_ids) != 1:
+            raise ValueError(f"impl='const' needs exactly one query row, got {len(q_ids)}")
+        qv = [float(x) for x in Q[0]]
+        qn = math.sqrt(sum(x * x for x in qv))
+        dot = F.expr(_dot_const_sql(vec_col, qv))
+        scored = corpus.select(
+            F.col(id_col),
+            (dot / F.nullif(_l2(F.col(vec_col)) * F.lit(qn), F.lit(0.0))).alias("cosine"),
+        )
+    elif impl == "arrow":
+        q = query.select(F.lit(-1).cast("long").alias("__qid"), F.col(query_vec_col))
+        q_ids, Q = _collect_query_bank(q, "__qid", query_vec_col, cache_key=cache_key)
         scored = _topk_scores_arrow(
-            corpus, q_ids, Q, k, id_col, vec_col, "__qid"
+            corpus, q_ids, Q, k, id_col, vec_col, "__qid",
+            quantum=(10.0 ** -round_digits) if round_digits is not None else 0.0,
         ).drop("__qid")
     else:
         joined = corpus.crossJoin(F.broadcast(query))
@@ -88,7 +121,10 @@ def cosine_topk_brute(
             F.col(id_col),
             cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
         )
-    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+    rank = (
+        F.round("cosine", round_digits) if round_digits is not None else F.col("cosine")
+    )
+    return scored.orderBy(rank.desc(), F.col(id_col)).limit(k)
 
 
 def cosine_topk_batch(
@@ -102,6 +138,7 @@ def cosine_topk_batch(
     round_digits: int | None = None,
     exclude_self: bool = False,
     impl: str = "arrow",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact top-k per query for a BATCH of query vectors (the retrieval /
     dedup-against-a-set shape): score corpus × Q in one shuffle-free scan,
@@ -129,7 +166,9 @@ def cosine_topk_batch(
     from pyspark.sql import Window
 
     if impl == "arrow":
-        q_ids, Q = _collect_query_bank(queries, query_id_col, query_vec_col)
+        q_ids, Q = _collect_query_bank(
+            queries, query_id_col, query_vec_col, cache_key=cache_key
+        )
         scored = _topk_scores_arrow(
             corpus,
             q_ids,
@@ -163,15 +202,41 @@ def cosine_topk_batch(
     )
 
 
-def _collect_query_bank(queries: DataFrame, query_id_col: str, query_vec_col: str):
+# Collected query banks, keyed (applicationId, cache_key): the bank pull is
+# a whole Spark job (scan + filter + collect) per PLAN BUILD — for a repeat
+# search workload (bench, dashboards, batch retrieval loops) re-running it
+# per build is the dominant dispatch cost at small corpora. The bank is
+# kilobytes of plain numpy (nothing bound to a SparkContext), deterministic
+# per corpus, so the cache is safe across sessions of one application.
+_QUERY_BANKS: dict[tuple[str, str], tuple] = {}
+
+
+def _collect_query_bank(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    cache_key: str | None = None,
+):
     """(q_ids int64[], Q float64[nq×dim]) from a query DataFrame — small by
-    contract (a broadcastable retrieval set), so the collect is kilobytes."""
+    contract (a broadcastable retrieval set), so the collect is kilobytes.
+    ``cache_key`` (e.g. the corpus dir + a query-spec tag) memoizes the
+    collect per application — pass it when the same bank is rebuilt across
+    plan builds."""
     import numpy as np
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
-    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
-    return q_ids, Q
+    def _pull():
+        q_rows = queries.select(query_id_col, query_vec_col).collect()
+        q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+        Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+        return q_ids, Q
+
+    if cache_key is None:
+        return _pull()
+    from ..functions import session_cache
+
+    return session_cache.get_value(
+        _QUERY_BANKS, queries.sparkSession, cache_key, _pull
+    )
 
 
 def _topk_scores_arrow(

@@ -10,6 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import session_cache
 from ..session import apply_runtime_confs
 from ..sources.tables import read_table
 from . import query
@@ -45,12 +46,12 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    # applicationId key: a GC'd session's id() can be reused by a new
-    # session, serving a DataFrame bound to a dead SparkContext
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX:
-        _IVF_INDEX[key] = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
-    assigned, centroids = _IVF_INDEX[key]
+    # session-scoped (identity-checked, evicting) — functions/session_cache
+    assigned, centroids = session_cache.get_df(
+        _IVF_INDEX, spark, sf_dir,
+        lambda: ivf_assign(corpus, n_centroids=8, lloyd_iters=1),
+        df_of=lambda v: v[0],
+    )
     return ivf_topk(assigned, centroids, qdf, k=10, n_probe=6)
 
 
@@ -459,12 +460,12 @@ def ivf_full_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    # applicationId key: a GC'd session's id() can be reused by a new
-    # session, serving a DataFrame bound to a dead SparkContext
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX:
-        _IVF_INDEX[key] = ivf_assign(corpus, n_centroids=8, lloyd_iters=1)
-    assigned, centroids = _IVF_INDEX[key]
+    # session-scoped (identity-checked, evicting) — functions/session_cache
+    assigned, centroids = session_cache.get_df(
+        _IVF_INDEX, spark, sf_dir,
+        lambda: ivf_assign(corpus, n_centroids=8, lloyd_iters=1),
+        df_of=lambda v: v[0],
+    )
     out = ivf_topk(assigned, centroids, qdf, k=10, n_probe=8)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 

@@ -21,6 +21,7 @@ from ..schemas import (
     POOL_STATS_SCHEMA,
     USER_HISTORY_SCHEMA,
 )
+from ..functions import session_cache
 from ..session import apply_runtime_confs
 from ..sources.tables import read_table
 from . import query
@@ -295,13 +296,10 @@ def snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every hour (main.py:353-359); re-analyzing the same 46-column DAG per
     # cycle is ~1s of pure driver time. DataFrames are immutable — reusing
     # the analyzed plan re-executes it fresh on every action.
-    # applicationId key: a GC'd session's id() can be reused by a new
-    # session, serving a DataFrame bound to a dead SparkContext
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PLAN_CACHE:
+    # session-scoped (identity-checked, evicting) — functions/session_cache
+    def _build() -> DataFrame:
         pairs, inputs = _synth_inputs(spark, sf_dir)
         snap = build_snapshot(pairs, inputs, RUN_TS, strict_repr=True)
-        _PLAN_CACHE[key] = snap.withColumns(
-            {c: F.round(F.col(f"`{c}`"), 6) for c in _ROUND_COLS}
-        )
-    return _PLAN_CACHE[key]
+        return snap.withColumns({c: F.round(F.col(f"`{c}`"), 6) for c in _ROUND_COLS})
+
+    return session_cache.get_df(_PLAN_CACHE, spark, sf_dir, _build)

@@ -677,6 +677,12 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPARSE_DF_CAP = 16
 _SPARSE_COS_T = 0.4
+# below this documents-table size the merge pins / explicit repartitions
+# are pure overhead (~1.5 s of scheduling floor on 5k-doc inputs) and AQE's
+# broadcast plans are both safe and faster; above it the exploded postings
+# defeat AQE's size estimates (driver broadcast OOM at sf10) and the pins
+# are load-bearing. 32 MB sits between sf1 (6 MB) and sf10 (67 MB).
+_SPARSE_PIN_BYTES = 32 << 20
 _SH3_SQL = (
     "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
 )
@@ -711,7 +717,7 @@ _SH3_SQL = (
     FROM dot
     JOIN nrm na ON na.doc_id = dot.id_a
     JOIN nrm nb ON nb.doc_id = dot.id_b
-    WHERE dot.d / (na.nm * nb.nm) >= {_SPARSE_COS_T}
+    WHERE round(dot.d / (na.nm * nb.nm), 6) >= {_SPARSE_COS_T}
     """,
 )
 def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,8 +749,11 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join streams pairs row-by-row (no per-bucket arrays), partial
     aggregation reduces to one row per colliding pair, and norms are one
     map-combinable pass over the capped postings. Joins are pinned
-    sort-merge: the exploded postings sides defeat AQE's size estimates,
-    and none is broadcastable at corpus scale.
+    sort-merge AT SCALE ONLY (documents > _SPARSE_PIN_BYTES on disk, or
+    size unknown): there the exploded postings sides defeat AQE's size
+    estimates and none is broadcastable; below the gate the pins and
+    explicit repartitions are skipped so AQE's broadcast plan runs —
+    they cost ~1.5 s of pure scheduling on 5k-doc inputs.
 
     Two further sf100 lessons baked in: (1) carrying the shingle STRING
     through the shuffles put ~30-char keys in every sort row — 32
@@ -771,7 +780,20 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same key), so small corpora pay nothing extra.
     from ..sources.tables import table_bytes
 
-    join_parts = max(32, min(1024, table_bytes(sf_dir, "documents") // (1 << 20)))
+    doc_bytes = table_bytes(sf_dir, "documents")
+    # SIZE-GATED physical strategy: the sort-merge pins and explicit
+    # repartitions only engage at scale (or when the stat is unknown —
+    # conservative default); at bench scale AQE's broadcast plan is
+    # correct and ~1.5 s cheaper in pure scheduling.
+    at_scale = doc_bytes == 0 or doc_bytes > _SPARSE_PIN_BYTES
+    join_parts = max(32, min(1024, doc_bytes // (1 << 20)))
+
+    def _pin(side: DataFrame) -> DataFrame:
+        return side.hint("merge") if at_scale else side
+
+    def _repart(rel: DataFrame, *keys: str) -> DataFrame:
+        return rel.repartition(join_parts, *keys) if at_scale else rel
+
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= 3)
@@ -787,24 +809,24 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", F.xxhash64("s").alias("sk"))
-        # pre-partition on the EXACT group key before aggregating: the
-        # default map-side partial agg holds a per-task hash map over
-        # ~8M exploded postings at sf100, falls back to sort-based
-        # spill, and the two concurrent evaluations of this subtree
-        # (df branch + weights branch — Spark does not CSE them) race
-        # each other out of the execution-memory pool. The exchange
+        # at scale, pre-partition on the EXACT group key before
+        # aggregating: the default map-side partial agg holds a per-task
+        # hash map over ~8M exploded postings at sf100, falls back to
+        # sort-based spill, and the two concurrent evaluations of this
+        # subtree (df branch + weights branch — Spark does not CSE them)
+        # race each other out of the execution-memory pool. The exchange
         # satisfies the groupBy's required distribution, so the agg
         # runs reduce-side in join_parts small tasks instead; map-side
         # combine loses nothing because shingles are mostly unique per
         # document (tf ≈ 1).
-        .repartition(join_parts, "doc_id", "sk")
+        .transform(lambda rel: _repart(rel, "doc_id", "sk"))
         .groupBy("doc_id", "sk")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = sh.groupBy("sk").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
-        sh.join(df.hint("merge"), "sk")
+        sh.join(_pin(df), "sk")
         .filter(F.col("df") <= _SPARSE_DF_CAP)
         .join(F.broadcast(n))
         .select(
@@ -817,10 +839,10 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
-    wr = w.repartition(join_parts, "sk")
+    wr = _repart(w, "sk")
     dot = (
         wr.alias("a")
-        .join(wr.alias("b").hint("merge"), "sk")
+        .join(_pin(wr.alias("b")), "sk")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -830,9 +852,13 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("nm_a"))
     nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nm_b"))
     cos = F.col("d") / (F.col("nm_a") * F.col("nm_b"))
+    # threshold on the 6dp-ROUNDED cosine (both engines): float-sum
+    # reassociation differs across engines, so a pair within an ulp of
+    # 0.4 raw could otherwise appear in one engine's output only — the
+    # rounding puts the filter and the emitted value on one grid.
     return (
-        dot.join(na.hint("merge"), "id_a")
-        .join(nb.hint("merge"), "id_b")
-        .filter(cos >= _SPARSE_COS_T)
+        dot.join(_pin(na), "id_a")
+        .join(_pin(nb), "id_b")
+        .filter(F.round(cos, 6) >= _SPARSE_COS_T)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import LANG_PROFILES, lang_id, text_profile
+from ..functions import session_cache
 from ..session import apply_runtime_confs
 from ..sources.tables import read_table
 from . import query
@@ -773,15 +774,14 @@ def _verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEAR_DUP_PAIRS:
+    def _build() -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
         cand = minhash_lsh_candidates(docs, "doc_id", "text")
         near = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
-        _NEAR_DUP_PAIRS[key] = near.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
-        )
-    return _NEAR_DUP_PAIRS[key]
+        return near.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+    # session-scoped (identity-checked, evicting) — functions/session_cache
+    return session_cache.get_df(_NEAR_DUP_PAIRS, spark, sf_dir, _build)
 
 
 @query("dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
