@@ -1044,3 +1044,30 @@ def test_rekey_store_migration_preserves_dedup(spark, tmp_path):
     # refuses to clobber an existing store
     with pytest.raises(Exception):
         rekey_store(accepted, new_store, dim=dim, n_planes=12)
+
+
+def test_approx_distinct_counts_error_bound(spark, sf_dir):
+    """Compensating gate for the rows-only approx_distinct_counts (VERDICT
+    r6 item 6): Spark's HLL++ has NO exact regime (dense-only registers —
+    linear counting carries ~n^2/2m bias even far below capacity), so the
+    oracle-less query instead pins every group's estimate within 3*rsd of
+    the exact distinct count. Deterministic for fixed data — a regression
+    check, not a statistical one."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.queries import queries
+
+    est = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in queries()["approx_distinct_counts"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= 3 * 0.02 * e, (k, est[k], e)

@@ -991,6 +991,7 @@ def pca_fit(
     dim: int,
     k: int,
     vec_col: str = "embedding",
+    pivot_order_col: str | None = None,
 ):
     """Distributed PCA fit: ``(mean, components[dim×k], explained_ratio)``.
 
@@ -1013,8 +1014,8 @@ def pca_fit(
     full-rank reconstruction) rather than a SQL oracle — no SQL engine
     exposes an eigensolver.
 
-    Numerical stability: partials accumulate around a PIVOT (the corpus's
-    first vector, fetched with a one-row job before the scan), i.e.
+    Numerical stability: partials accumulate around a PIVOT (one corpus
+    vector, fetched with a one-row job before the scan), i.e.
     ``Y = X − pivot`` and ``cov = E[YYᵀ] − E[Y]E[Y]ᵀ`` — algebraically
     identical for any pivot, but the shifted form keeps the Gram entries
     O(spread²) instead of O(offset²), so an offset-heavy corpus (mean ≫
@@ -1025,7 +1026,15 @@ def pca_fit(
     import numpy as np
     import pyarrow as pa
 
-    pivot_row = emb.select(vec_col).first()
+    # pivot determinism (ADVICE r6): a bare first() is partition-order-
+    # dependent, so the fitted mean/components could drift at ulp level
+    # across repartitionings. With pivot_order_col the pivot is the
+    # minimum-key row — a TakeOrderedAndProject one-row job, bit-stable
+    # for a given corpus regardless of layout.
+    if pivot_order_col is not None:
+        pivot_row = emb.orderBy(pivot_order_col).select(vec_col).first()
+    else:
+        pivot_row = emb.select(vec_col).first()
     if pivot_row is None:
         raise ValueError("pca_fit: empty input corpus (no vectors to fit)")
     pivot = np.asarray(

@@ -468,7 +468,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_fit, pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    mean, comps, _ = pca_fit(emb, dim=64, k=8)
+    mean, comps, _ = pca_fit(emb, dim=64, k=8, pivot_order_col="vec_id")
     out = pca_project(emb, mean, comps)
     return out.select(
         "vec_id", F.posexplode("proj").alias("component_idx", "v")

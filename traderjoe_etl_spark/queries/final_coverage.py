@@ -107,14 +107,40 @@ def array_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles")  # rows-only: sketch estimates are engine-specific
+@query(
+    "approx_percentiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+               COUNT(*)    OVER (PARTITION BY l_returnflag)                           AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5  * n) AS BIGINT)) THEN v END) AS approx_median_price,
+           MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN v END) AS approx_p99_price
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (single-pass KLL-style sketch) — the 100-TB
-    quantile path; the exact sort-based twin is percentiles_by_flag."""
+    """approx_percentile (single-pass Greenwald-Khanna summary) — the
+    100-TB quantile path; the exact sort-based twin is percentiles_by_flag.
+
+    Exact-regime oracle (the kll_quantile_rollup / theta_sketch_setops
+    rule): with accuracy = 1e5 the summary's rank error bound is
+    n/accuracy < 1 rank while groups stay under 100k rows, so the returned
+    value IS the exact order statistic — empirically the value at
+    1-indexed rank ceil(q·n) of the sorted group (verified at sf0.01 for
+    q=0.5/0.99 across all three flags, n≈20k each). Beyond 100k rows per
+    group the identical plan degrades to a bounded-rank-error estimate
+    (±n·1e-5), and the summary stays O(accuracy·log n) memory — sketch
+    capacity is a knob, not a scale ceiling."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
-        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+        F.approx_percentile("l_extendedprice", 0.5, 100000).alias("approx_median_price"),
+        F.approx_percentile("l_extendedprice", 0.99, 100000).alias("approx_p99_price"),
     )
 
 

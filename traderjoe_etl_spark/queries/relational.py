@@ -112,7 +112,19 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100-TB path for
     distinct-user-per-pool style questions: constant memory per group vs the
-    exact expand. No oracle: HLL estimates are engine-specific."""
+    exact expand.
+
+    Deliberately rows-only, and — unlike the other sketch queries — an
+    exact-regime oracle is IMPOSSIBLE here, not just omitted: Spark's
+    HyperLogLogPlusPlus is dense-only (no sparse/exact small-cardinality
+    mode), so even far below register count the estimate is linear
+    counting with ~n²/2m bias, never the true count. Measured at sf0.01
+    (~1.3k distinct/group): off by 1-12 at rsd 0.02/0.01/0.005 — no rsd
+    reaches exactness. Compensating gate:
+    tests/test_operators.py::test_approx_distinct_counts_error_bound pins
+    every group's estimate within 3·rsd of the exact distinct count (the
+    estimate is deterministic for fixed data, so the bound is a stable
+    regression check, not a flaky statistical one)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),

@@ -970,7 +970,11 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct_ngram_diversity",
     oracle=r"""
     WITH toks AS (
-        SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        -- empty-token filter matches zipf_slope_by_source's w <> ''
+        -- convention: an empty/whitespace-only doc splits to [''], which
+        -- would otherwise count as a unigram (ADVICE r6)
+        SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   t -> t <> '') AS w
         FROM documents
     ),
     g AS (
@@ -1005,8 +1009,12 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     then (source, n) folds counts, so the exchange carries |vocab|-scale
     rows, never corpus-scale token streams. No windows, no joins."""
     docs = _t(spark, sf_dir, "documents")
+    # empty-token filter — zipf_slope_by_source's convention, both engines
     toks = docs.select(
-        "source", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+        ).alias("w"),
     )
     grams = F.expr(
         "concat("
