@@ -185,6 +185,22 @@ def _drain(agg: DataFrame, name: str, mode: str = "complete") -> None:
         raise RuntimeError(f"streaming drain {name!r} exceeded 600s; query stopped")
 
 
+def _rocksdb_state(sf_dir: str) -> bool:
+    """Size-gated state-store provider choice (the CBO pattern used across
+    the repo): the heap (HDFSBacked) provider holds every state entry as
+    deserialized rows — ~150 B/key — so it wins while total keyed state
+    fits comfortably (measured sf10, 10M dedup keys ≈ 1.5 GB: heap drain
+    5.0 s vs RocksDB 18.1 s — RocksDB pays per-key write amplification),
+    and becomes a JVM-killer beyond (~100M keys at sf100 would be ~15 GB
+    on an 8 GB heap). 200 MB of events parquet ≈ 13M rows ≈ 2 GB of heap
+    state is the cutover; unknown size → conservative RocksDB, the 100-TB
+    default."""
+    from ..sources.tables import table_bytes
+
+    eb = table_bytes(sf_dir, "events")
+    return eb == 0 or eb > (200 << 20)
+
+
 def _drain_to_files(out: DataFrame, prefix: str, rocksdb: bool = False) -> str:
     """Drain an append-mode stream to a parquet directory — the DISTRIBUTED
     sink: emitted rows go executor→files, never collecting on the driver
@@ -373,9 +389,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream_stream_interval_join(purchases, clicks, within="1 hour")
     # Append-mode join output and both sides' join state are O(events) —
-    # distributed file sink + RocksDB state, same rationale as
-    # stream_dedup_events (driver memory sink wedged the sf10 audit).
-    out_dir = _drain_to_files(joined, "stream_ij_out_", rocksdb=True)
+    # distributed file sink + size-gated state provider, same rationale
+    # as stream_dedup_events (driver memory sink wedged the sf10 audit).
+    out_dir = _drain_to_files(joined, "stream_ij_out_", rocksdb=_rocksdb_state(sf_dir))
     return spark.read.parquet(out_dir).select(
         F.col("event_id").alias("purchase_id"),
         F.col("event_id_r").alias("click_id"),
@@ -414,13 +430,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("append").parquet(d)
     src = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
     deduped = stream_dedup(src, keys=["event_id"], watermark="2 hours")
-    # Distributed file sink + RocksDB state: the dedup keeps one state
-    # entry per event_id, and append mode emits the full deduped stream —
-    # both are O(|events|), so neither may land on the driver heap (a
-    # memory-sink drain at sf10 exhausted the heap, killed task threads,
-    # and leaked every local scheduler core — the session then hung on the
-    # NEXT job with 0 running tasks).
-    out_dir = _drain_to_files(deduped, "stream_dedup_out_", rocksdb=True)
+    # Distributed file sink + size-gated state provider: the dedup keeps
+    # one state entry per event_id, and append mode emits the full deduped
+    # stream — both are O(|events|), so neither may land on the driver
+    # heap (a memory-sink drain at sf10 exhausted the heap, killed task
+    # threads, and leaked every local scheduler core — the session then
+    # hung on the NEXT job with 0 running tasks). Provider: heap while
+    # the key set fits (3.6x faster at sf10), RocksDB beyond
+    # (_rocksdb_state).
+    out_dir = _drain_to_files(deduped, "stream_dedup_out_", rocksdb=_rocksdb_state(sf_dir))
     return spark.read.parquet(out_dir).select(
         "event_id",
         "user_id",
