@@ -296,11 +296,17 @@ def test_cosine_topk_single_job_per_execution(spark, qs):
     # no Python evaluation in the small-corpus plan (const-literal path)
     assert "ArrowEvalPython" not in f.operators and "MapInArrow" not in f.text
     df.collect()  # warm
-    st = spark.sparkContext.statusTracker()
-    before = len(st.getJobIdsForGroup(None) or [])
-    df.collect()
-    after = len(st.getJobIdsForGroup(None) or [])
-    assert after - before == 1, f"expected exactly 1 job/execution, got {after - before}"
+    # count jobs inside a dedicated job group: len(getJobIdsForGroup(None))
+    # is unreliable on the long-lived suite session once retainedJobs
+    # (default 1000) starts evicting old entries
+    sc = spark.sparkContext
+    sc.setJobGroup("cosine_topk_jobcount", "plan test")
+    try:
+        df.collect()
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cosine_topk_jobcount") or [])
+    assert n_jobs == 1, f"expected exactly 1 job/execution, got {n_jobs}"
 
 
 def test_cosine_topk_batch_kernel_prunes(spark, qs):

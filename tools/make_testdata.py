@@ -79,12 +79,12 @@ def _write(out: str, name: str, table: pa.Table) -> None:
 def generate(out: str, seed: int, scale: float) -> None:
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(seed)
-    n_cust = int(1500 * scale)
-    n_supp = int(100 * scale)
-    n_part = int(2000 * scale)
-    n_ord = int(15000 * scale)
-    n_ev = int(10000 * scale)
-    n_doc = int(500 * scale)
+    n_cust = max(1, int(1500 * scale))
+    n_supp = max(1, int(100 * scale))
+    n_part = max(1, int(2000 * scale))
+    n_ord = max(1, int(15000 * scale))
+    n_ev = max(1, int(10000 * scale))
+    n_doc = max(2, int(500 * scale))
     n_users = max(2, int(150 * scale))
 
     _write(out, "region", pa.table({
@@ -151,8 +151,11 @@ def generate(out: str, seed: int, scale: float) -> None:
         "l_shipdate": _ts_days("1995-01-01", np.repeat(odays, lines_per) + rng.randint(1, 96, n_li)),
     }))
 
-    # events: cumulative exponential arrivals over ~30 days of 2024-01
-    gaps_us = rng.exponential(259_200_000.0, n_ev)  # mean ~259 s in µs
+    # events: cumulative exponential arrivals over ~30 days of 2024-01.
+    # The gap mean scales INVERSELY with row count so the time span stays
+    # ~30 days at any --scale (the January-2024 domain is a contract —
+    # windowed/sessionization queries assume it)
+    gaps_us = rng.exponential(259_200_000.0 / scale, n_ev)  # span ≈ 30 d
     ts = np.datetime64("2024-01-01", "us").astype(np.int64) + np.cumsum(gaps_us).astype(np.int64)
     _write(out, "events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def get_df(
-    cache: dict[tuple[str, str], Any],
+    cache: dict[tuple, Any],
     spark: SparkSession,
     sf_dir: str,
     build: Callable[[], Any],
@@ -42,8 +42,14 @@ def get_df(
     """Fetch-or-build a session-scoped cached value whose payload is (or
     contains) a DataFrame. ``df_of`` extracts a representative DataFrame
     from composite payloads (e.g. an ``(assigned, centroids)`` tuple) for
-    the session-identity check."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    the session-identity check.
+
+    The key carries ``id(spark)`` so two live sessions of one application
+    get SEPARATE slots (one shared slot would rebuild on every alternating
+    call — zero hit rate exactly in the multi-session case); the identity
+    check makes id() address reuse harmless — a recycled address fails
+    ``is spark`` and rebuilds instead of serving a dead session's plan."""
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     hit = cache.get(key)
     if hit is None or df_of(hit).sparkSession is not spark:
         for k in [k for k in cache if k[0] != key[0]]:

@@ -129,18 +129,25 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB quantile path; the exact sort-based twin is percentiles_by_flag.
 
     Exact-regime oracle (the kll_quantile_rollup / theta_sketch_setops
-    rule): with accuracy = 1e5 the summary's rank error bound is
-    n/accuracy < 1 rank while groups stay under 100k rows, so the returned
-    value IS the exact order statistic — empirically the value at
-    1-indexed rank ceil(q·n) of the sorted group (verified at sf0.01 for
-    q=0.5/0.99 across all three flags, n≈20k each). Beyond 100k rows per
-    group the identical plan degrades to a bounded-rank-error estimate
-    (±n·1e-5), and the summary stays O(accuracy·log n) memory — sketch
-    capacity is a knob, not a scale ceiling."""
+    rule), SIZE-GATED because GK summary cost grows superlinearly with
+    accuracy (measured sf10: 11.3 s at 1e4, 35.7 s at 1e5, 1e6 never
+    finished — a blanket high accuracy is a scale killer, caught live in
+    the r7 sf100 audit): at oracle scale (lineitem ≤ 4 MB ≈ ≤170k rows,
+    groups ≪ 1e5) the query runs accuracy 1e5, where the rank error
+    bound n/accuracy < 1 makes the returned value the EXACT order
+    statistic at 1-indexed rank ceil(q·n) (verified empirically at
+    sf0.01, n≈20k/group); above the gate it runs the scale-safe 1e4
+    default and the result is the documented ±n·1e-4-rank estimate —
+    exactly how a real user sizes sketch capacity to an error budget.
+    The differential sweep only evaluates the oracle at sf0.01."""
+    from ..sources.tables import table_bytes
+
     li = _t(spark, sf_dir, "lineitem")
+    lb = table_bytes(sf_dir, "lineitem")
+    acc = 100000 if 0 < lb <= (4 << 20) else 10000
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 100000).alias("approx_median_price"),
-        F.approx_percentile("l_extendedprice", 0.99, 100000).alias("approx_p99_price"),
+        F.approx_percentile("l_extendedprice", 0.5, acc).alias("approx_median_price"),
+        F.approx_percentile("l_extendedprice", 0.99, acc).alias("approx_p99_price"),
     )
 
 

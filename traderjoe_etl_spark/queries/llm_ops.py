@@ -23,6 +23,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# cosine_topk physical-strategy crossover (the named-knob convention of
+# retrieval._SPARSE_PIN_BYTES): at/below this embeddings size the
+# constant-literal pure-JVM scan wins (no Python-worker round trips);
+# above it interpreted-HOF cost grows with rows and the mapInArrow GEMM
+# kernel takes over. Measured: const 0.060 s vs arrow 0.15 s at sf1
+# (5 MB); arrow wins from ~sf10 (51 MB) where HOF interpretation
+# dominates. BENCH.md r7 has the full anatomy.
+_CONST_IMPL_BYTES = 32 << 20
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -196,18 +206,22 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_shapes.py. Ranks on the 6dp-rounded score, the
     oracle's ORDER BY grid."""
     from ..operators.similarity import cosine_topk_brute
-    from ..sources.tables import table_bytes
+    from ..sources.tables import table_bytes, table_fingerprint
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     eb = table_bytes(sf_dir, "embeddings")
+    # fingerprinted key: the bank pins collected DATA, so a regenerated
+    # table under the same (gitignored, routinely rebuilt) path must
+    # invalidate instead of silently serving the old query vector
+    fp = table_fingerprint(sf_dir, "embeddings")
     out = cosine_topk_brute(
         emb.filter(F.col("vec_id") != 0),
         qv,
         k=10,
         id_col="vec_id",
-        impl="const" if 0 < eb <= (32 << 20) else "arrow",
-        cache_key=f"{sf_dir}::cosine_topk",
+        impl="const" if 0 < eb <= _CONST_IMPL_BYTES else "arrow",
+        cache_key=f"{sf_dir}::{fp}::cosine_topk",
         round_digits=6,
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -244,13 +258,15 @@ def cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    from ..sources.tables import table_fingerprint
+
     return cosine_topk_batch(
         emb,
         queries,
         k=5,
         round_digits=6,
         exclude_self=True,
-        cache_key=f"{sf_dir}::cosine_topk_batch",
+        cache_key=f"{sf_dir}::{table_fingerprint(sf_dir, 'embeddings')}::cosine_topk_batch",
     )
 
 

@@ -67,6 +67,31 @@ def table_bytes(sf_dir: str, name: str) -> int:
         return 0
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap staleness fingerprint of one table: total bytes + max mtime
+    (ns) over its parquet files. Caches that pin collected DATA (not plan
+    handles, which re-scan files on every execution) must key on this so
+    a regenerated table under the same path — benchdata/* is gitignored
+    and routinely rebuilt — invalidates instead of silently serving stale
+    values."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            sz = sum(os.path.getsize(f) for f in files)
+            mt = max((os.stat(f).st_mtime_ns for f in files), default=0)
+        else:
+            st = os.stat(path)
+            sz, mt = st.st_size, st.st_mtime_ns
+        return f"{sz}:{mt}"
+    except OSError:
+        return "absent"
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one synthetic table."""
     if name not in TABLE_NAMES:
