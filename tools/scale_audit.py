@@ -26,6 +26,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Per-query watchdog (seconds). Purpose: a long-lived sweep session reuses
+# forked pyspark daemon workers across queries, and a worker that dies in a
+# bad state can leave a later task's JVM reader blocked FOREVER on its
+# socket (observed r7: exact_substring_dups wedged 30+ min mid-sweep at
+# stage N 33/34 with the box idle — task thread parked in
+# BasePythonRunner.ReaderInputStream.read, no live python worker, zero CPU;
+# the same query fresh-session runs in 105 s at sf100). The watchdog
+# cancels the wedged jobs and the main loop's dead-context recovery then
+# rebuilds the session (killing the poisoned daemon pool).
+WATCHDOG_SEC = float(os.environ.get("SPARK_GRAFT_AUDIT_WATCHDOG_SEC", "1500"))
+
+
+class WatchdogTimeout(RuntimeError):
+    pass
+
+
+def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
+    """Build + noop-save one query in a worker thread; on timeout cancel
+    all jobs, stop the (suspect) session so the caller's recovery path
+    rebuilds it, and raise WatchdogTimeout."""
+    import threading
+
+    err: list[BaseException] = []
+
+    def work():
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except BaseException as e:  # surfaced by the caller
+            err.append(e)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+        try:
+            spark.stop()  # kill the poisoned daemon pool; caller rebuilds
+        except Exception:
+            pass
+        raise WatchdogTimeout(f"query exceeded {timeout_s:.0f}s watchdog; session stopped")
+    if err:
+        raise err[0]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf10"
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
@@ -58,8 +106,7 @@ def main() -> None:
             # standalone cost is candidates + verify (~28s).
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            _run_with_watchdog(spark, qs[name], sf_dir, WATCHDOG_SEC)
             times[name] = round(time.perf_counter() - t0, 2)
             print(f"    {name} {times[name]}s", file=_sys.stderr, flush=True)
         except Exception as exc:  # keep sweeping; report at the end
