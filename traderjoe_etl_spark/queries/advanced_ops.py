@@ -239,7 +239,7 @@ def _drain_to_files(out: DataFrame, prefix: str, rocksdb: bool = False) -> str:
     return d + "/data"
 
 
-def _drain_complete_to_files(agg: DataFrame, prefix: str) -> str:
+def _drain_complete_to_files(agg: DataFrame, prefix: str, rocksdb: bool = False) -> str:
     """Drain a COMPLETE-mode aggregate distributed: ``foreachBatch``
     overwrites a parquet dir with each trigger's full result, so the final
     trigger leaves the complete result on disk, executor-written. Complete
@@ -247,23 +247,41 @@ def _drain_complete_to_files(agg: DataFrame, prefix: str) -> str:
     (e.g. the last session per key under availableNow), but a memory sink
     would put the ENTIRE result on the driver heap — fine for a rollup of
     a few thousand groups, not for per-key session tables at corpus scale.
-    Returns the output dir."""
+    ``rocksdb=True`` moves the aggregate's O(result) keyed STATE off-heap
+    too — complete mode retains every group in the state store between
+    triggers, which heap-OOM'd the 8 GB JVM at sf100 (~100M events' worth
+    of per-user sessions; caught by the r7 full-registry audit). Returns
+    the output dir."""
     spark = agg.sparkSession
     d = _scratch_dir(prefix)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    if rocksdb:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
 
     def write_batch(batch_df: DataFrame, _epoch: int) -> None:
         batch_df.write.mode("overwrite").parquet(d + "/data")
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", d + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"complete-mode drain {prefix!r} exceeded 600s; query stopped")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"complete-mode drain {prefix!r} exceeded 600s; query stopped")
+    finally:
+        if rocksdb:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
     return d + "/data"
 
 
@@ -347,7 +365,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark in append), but the result is one row per session — a
     # per-key table that must not collect on the driver; foreachBatch
     # overwrite keeps the drain distributed.
-    out_dir = _drain_complete_to_files(agg, "stream_sess_out_")
+    out_dir = _drain_complete_to_files(agg, "stream_sess_out_", rocksdb=_rocksdb_state(sf_dir))
     return spark.read.parquet(out_dir).select(
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
