@@ -109,20 +109,40 @@ def exists_priority_counts_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (lineitem stands in for partsupp): single-column
-    NOT IN over a subquery. Spark plans this as a null-aware anti join
-    (NAAJ, broadcast) — the semantics (whole result empties if the subquery
-    yields a NULL) cannot be written as a plain anti join. The excluded-
-    supplier list is tiny and broadcasts; part is a broadcast dim; the only
-    shuffle is the distinct-count aggregate on (brand, type, size)."""
+    NOT IN over a subquery. Spark plans the filter as a null-aware anti
+    join (NAAJ, broadcast) — the semantics (whole result empties if the
+    subquery yields a NULL) cannot be written as a plain anti join. The
+    excluded-supplier list is tiny and broadcasts; part is a broadcast dim.
+
+    The distinct-count runs REDUCE-SIDE over a corpus-scaled key
+    repartition instead of SQL count(DISTINCT): the (brand, type, size,
+    suppkey) key barely deduplicates (each (b,t,s) combo spans hundreds of
+    parts, so distinct pairs ≈ filtered row count), which makes map-side
+    partial aggregation a pure loss — at sf100 each of 32 concurrent scan
+    tasks grew a ~19M-entry string-keyed hash map inside
+    hashAgg_doAggregateWithKeys and heap-OOM'd the JVM before spill could
+    engage (caught by the r7 full-registry audit; the sparse_shingle
+    lesson — 'map-side combine loses nothing when keys are mostly unique —
+    pre-partition on the exact key' — applied to a relational shape). At or
+    below the session default width the repartition IS the distinct's own
+    exchange, so small corpora pay nothing."""
+    from ..sources.tables import table_bytes
+
     _views(spark, sf_dir, "lineitem", "part", "supplier")
-    return spark.sql(
+    filtered = spark.sql(
         """
-        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        SELECT p_brand, p_type, p_size, l_suppkey
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand <> 'Brand#1'
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        GROUP BY p_brand, p_type, p_size
         """
+    )
+    w = max(32, min(1024, table_bytes(sf_dir, "lineitem") // (2 << 20)))
+    pairs = filtered.repartition(
+        w, "p_brand", "p_type", "p_size", "l_suppkey"
+    ).dropDuplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("l_suppkey").alias("supplier_cnt")
     )
 
 
