@@ -317,3 +317,65 @@ def test_cosine_topk_batch_kernel_prunes(spark, qs):
     f = plan_facts(qs["cosine_topk_batch"](spark, SF))
     assert "MapInArrow" in f.text or "MapInArrow" in f.operators
     assert f.n_exchanges <= 1
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide lint: no unbounded empty-partition-spec windows (VERDICT r7
+# item 1 — the ntile_customer_quartiles class: Spark executes a global
+# window in ONE task, and WindowGroupLimit never fires for it).
+
+
+# Whitelisted global windows: input is bounded BY CONSTRUCTION but not by a
+# form the lint can prove mechanically. Every entry needs a justification.
+_GLOBAL_WINDOW_WHITELIST = {
+    # RANGE frame over the PRE-AGGREGATED daily relation: window input
+    # cardinality = |calendar days in the data's time range| (~2.5k for
+    # the 1995-2001 testdata), independent of corpus size. A 100x corpus
+    # adds rows to the upstream day-aggregate, not to this window.
+    "rolling_median_revenue_7d",
+}
+
+
+def test_global_window_lint_unit(spark):
+    """The lint itself: flags a bare global window; accepts the two
+    bounded forms (limit-then-rank, __pid-keyed prefix offsets)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.prefix import global_running_agg
+    from traderjoe_etl_spark.plans.audit import global_window_violations
+
+    df = spark.range(100).select(
+        F.col("id").alias("v"), (F.col("id") % 7).alias("x")
+    )
+    bad = df.select("v", F.row_number().over(Window.orderBy("v")).alias("rk"))
+    assert global_window_violations(bad), "bare global window must flag"
+
+    cut = df.orderBy("v").limit(5)
+    ranked = cut.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rk")
+    )
+    assert not global_window_violations(ranked), "limit-then-rank is bounded"
+
+    pref = global_running_agg(df, "v", {"rs": ("x", "sum")}, checkpoint=False)
+    assert not global_window_violations(pref), "__pid offsets are bounded"
+
+
+def test_no_unbounded_global_windows_registry_wide(spark, qs):
+    """EVERY registered query's optimized plan must be free of
+    empty-partition-spec windows over unbounded input — the one
+    confirmed scale-killer class (r7: ntile 19.1x growth on 10x data).
+    Whitelist entries must stay justified and non-stale."""
+    from traderjoe_etl_spark.plans.audit import global_window_violations
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(qs.items()):
+        bad = global_window_violations(fn(spark, SF))
+        if bad:
+            offenders[name] = bad
+    stale = _GLOBAL_WINDOW_WHITELIST - set(offenders)
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+    real = {k: v for k, v in offenders.items() if k not in _GLOBAL_WINDOW_WHITELIST}
+    assert not real, "unbounded global windows:\n" + "\n".join(
+        f"{k}: {v[0][:160]}" for k, v in sorted(real.items())
+    )

@@ -40,6 +40,53 @@ class PlanFacts:
         return out
 
 
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input is NOT
+    bounded by construction — the one confirmed scale-killer class
+    (Spark executes such a window in ONE task and WindowGroupLimit never
+    fires for it; see ntile_customer_quartiles' r7 anatomy: 19.1x growth
+    on 10x data before its prefix-scan rewrite).
+
+    Bounded-by-construction forms that remain legal:
+      * order key is the prefix-scan's ``__pid`` — the per-partition
+        totals relation has <= n_parts rows (operators/prefix.py);
+      * a Limit somewhere below the window — the limit-then-rank
+        pattern feeds the window only the already-cut k rows.
+
+    Walks the OPTIMIZED logical plan (lazy localCheckpoints truncate
+    lineage to a LogicalRDD, so only the live plan above checkpoints is
+    inspected — exactly the part that re-executes at scale).
+    Returns the offending nodes' simpleStrings (empty list == clean).
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+
+    def kids(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def has_limit_below(n) -> bool:
+        for c in kids(n):
+            if c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+                return True
+            if has_limit_below(c):
+                return True
+        return False
+
+    def visit(n) -> None:
+        if n.getClass().getSimpleName() == "Window" and n.partitionSpec().size() == 0:
+            order = n.orderSpec()
+            keys = [order.apply(i).child().toString() for i in range(order.size())]
+            pid_keyed = bool(keys) and all("__pid" in k for k in keys)
+            if not pid_keyed and not has_limit_below(n):
+                bad.append(n.simpleString(120))
+        for c in kids(n):
+            visit(c)
+
+    visit(plan)
+    return bad
+
+
 def plan_facts(df: DataFrame) -> PlanFacts:
     # formatted mode: stable node list with PushedFilters/ReadSchema and
     # [codegen id : N] annotations even under the AQE (pre-final) root.

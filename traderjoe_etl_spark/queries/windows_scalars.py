@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.prefix import global_running_agg
 from ..session import apply_runtime_confs
 from ..sources.tables import read_table
 from . import query
@@ -99,18 +100,60 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing (global window — fine: output is 4 aggregate rows,
-    and the sort is the cost, not state)."""
+    """Exact ntile(4) WITHOUT the single-task global window.
+
+    ``ntile(4) OVER (ORDER BY c_acctbal, c_custkey)`` has an empty
+    partition spec, so Spark sorts and ranks the ENTIRE relation through
+    one task (WindowGroupLimit never fires — the repo's documented
+    pitfall; measured 19.1x growth on 10x data sf10->sf100, the r7
+    registry's one confirmed scale-killer). Scale-safe equivalent:
+
+    1. per-value counts (groupBy c_acctbal — map-side combine, tiny
+       output: the distinct-value relation);
+    2. distributed EXCLUSIVE prefix sum of those counts ordered by
+       c_acctbal (operators/prefix.global_running_agg — range-
+       repartitioned, never a global window) = rows strictly below each
+       value;
+    3. tie rank within each value by c_custkey (window PARTITIONED BY
+       c_acctbal — bounded by the max tie-group, distributed);
+    4. global 1-indexed position r = below + tie_rank, then ntile is
+       pure integer arithmetic on (r, N): the first N%4 buckets take
+       ceil(N/4) rows, the rest floor(N/4).
+
+    Tie semantics are EXACT (the order key (c_acctbal, c_custkey) is
+    total — c_custkey is unique), so the unchanged ntile oracle holds.
+    greatest(q,1) guards the ANSI div in the otherwise-branch that is
+    unreachable when q=0 (N<4 puts every row in the r<=cut branch)."""
     cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        )
+    counts = cust.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("__cnt"))
+    pref = global_running_agg(
+        counts, "c_acctbal", {"__below": ("__cnt", "sum")}, inclusive=False
+    )
+    total = pref.agg(F.sum("__cnt").alias("__n"))
+    w_tie = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    ranked = (
+        cust.select("c_acctbal", "c_custkey")
+        .withColumn("__tie", F.row_number().over(w_tie).cast("long"))
+        .join(pref.select("c_acctbal", "__below"), "c_acctbal")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__r", F.coalesce(F.col("__below"), F.lit(0).cast("long")) + F.col("__tie"))
+    )
+    bucketed = ranked.select(
+        "c_acctbal",
+        F.expr(
+            """CAST(CASE WHEN __r <= (__n % 4) * (__n div 4 + 1)
+                         THEN (__r - 1) div (__n div 4 + 1) + 1
+                         ELSE __n % 4
+                              + (__r - (__n % 4) * (__n div 4 + 1) - 1)
+                                div greatest(__n div 4, 1L)
+                              + 1
+                    END AS INT)"""
+        ).alias("quartile"),
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
 
 
