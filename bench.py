@@ -1,11 +1,14 @@
 """Benchmark runner — the driver's per-round feedback loop.
 
 Times each headline query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1,
-   "duckdb": {name: sec, ...}, "duckdb_total": sec, "ratio": r,
-   "scale": {"sf1": {...same shape...}}}
+   "queries": {name: sec, ...}, "sf": 0.1, "duckdb_total": sec,
+   "spark_comparable_total": sec, "ratio": r,
+   "sf1_total": sec, "sf1_duckdb_total": sec, "sf1_ratio": r}
+The per-query DuckDB twin tables and the full sf1 scale section are
+written to BENCH_full.json beside this script (the round driver captures
+only a bounded stdout window, so the stdout line stays < ~2 KB).
 
 The primary metric stays the sf0.1 Spark headline total. The extra keys
 substantiate the fixed-overhead-vs-marginal-cost argument (VERDICT r01):
@@ -238,7 +241,37 @@ def main() -> None:
     }
     if scale:
         out["scale"] = scale
-    print(json.dumps(out))
+
+    # Full payload (per-query DuckDB twins + the sf1 scale section) goes to
+    # a sidecar file; stdout carries ONE compact line. The round driver
+    # captures only a bounded stdout window (BENCH_r05..r07 all recorded
+    # "parsed": null with the tail cut mid-JSON), so the machine-readable
+    # line must stay comfortably under ~2 KB — per-query Spark seconds and
+    # the headline ratios fit, the 3x-larger twin tables do not.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": primary["total"],
+        "unit": "sec",
+        "queries": primary["queries"],
+        "sf": sf,
+        "duckdb_total": primary["duckdb_total"],
+        "spark_comparable_total": primary["spark_comparable_total"],
+        "ratio": primary["ratio"],
+    }
+    if scale:
+        sf1 = scale["sf1"]
+        compact["sf1_total"] = sf1["total"]
+        compact["sf1_duckdb_total"] = sf1["duckdb_total"]
+        compact["sf1_ratio"] = sf1["ratio"]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep the line parseable inside the driver window
+        compact["queries"] = {}
+        compact["queries_in"] = "BENCH_full.json"
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

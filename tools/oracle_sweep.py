@@ -39,9 +39,11 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from tests.oracle_harness import compare, duckdb_conn
+    from traderjoe_etl_spark.queries import oracle_gates
 
     qs = entry.queries()
     osql = entry.oracle_sql()
+    gates = oracle_gates()
     names = sorted(qs)
     if name_filter:
         names = [n for n in names if any(f in n for f in name_filter)]
@@ -53,7 +55,11 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
-            if name in osql:
+            # A gated oracle is only valid at scales where its predicate
+            # holds (e.g. approx_percentiles' exact sketch regime) —
+            # degrade to rows-only elsewhere instead of a false FAIL.
+            gated_off = name in gates and name in osql and not gates[name](sf_dir)
+            if name in osql and not gated_off:
                 odf = con.execute(osql[name]).df()
                 problems = compare(sdf, odf)
                 ok = not problems
@@ -66,6 +72,8 @@ def main() -> None:
             else:
                 n = sdf.count()
                 results[name] = {"status": "ROWS_ONLY", "rows": n}
+                if gated_off:
+                    results[name]["gated"] = "oracle only valid below its scale gate"
                 n_rows_only += 1
         except Exception:
             n_fail += 1

@@ -1,16 +1,30 @@
 """Scale audit: time EVERY registered query at a benchdata dir.
 
 Usage: python tools/scale_audit.py [sf_dir] [threshold_sec] [name...]
+       with optional flags anywhere:
+         --recycle=N        recycle the SparkSession every N queries
+                            (default 25; 0 disables). A single uniform
+                            protocol — no per-query fresh-run
+                            substitutions: long sweeps accumulate JVM
+                            heap/GC pressure that can fail queries
+                            innocent in isolation (r7: pagerank_sources,
+                            exact_substring_dups at sf100).
+         --baseline=PATH    a prior audit JSON (e.g. AUDIT_r07.json at
+                            sf10) to divide against: emits per-query
+                            time ratios and auto-flags any query whose
+                            ratio exceeds --ratio-flag (default 15) —
+                            the ntile-class outlier detector.
+         --ratio-flag=X     ratio threshold for the flag list.
 
 Trailing name args restrict the sweep to those queries (targeted
 re-audit after changing a subset).
 
-The headline bench (bench.py) tracks 15 queries; this sweep times the
-whole registry (noop sink, one run each) and prints one JSON line with
-per-query seconds sorted slowest-first, flagging everything above the
-threshold (default 15 s). This is the per-round regression net that
-caught repetition_scores at 51 s and local_supplier_volume_q5 at 14 s —
-run it at sf10 after adding queries.
+The headline bench (bench.py) tracks the flagship queries; this sweep
+times the whole registry (noop sink, one run each, clearCache between)
+and prints one JSON line with per-query seconds sorted slowest-first,
+flagging everything above the threshold (default 15 s). This is the
+per-round regression net that caught repetition_scores at 51 s and
+local_supplier_volume_q5 at 14 s — run it at sf10 after adding queries.
 
 Streaming-drain queries rebuild their source each call, so their numbers
 include that setup; they are still comparable round-over-round.
@@ -45,10 +59,14 @@ class WatchdogTimeout(RuntimeError):
 def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
     """Build + noop-save one query in a worker thread; on timeout cancel
     all jobs, stop the (suspect) session so the caller's recovery path
-    rebuilds it, and raise WatchdogTimeout."""
+    rebuilds it, and raise WatchdogTimeout. The timed-out worker thread
+    itself cannot be killed from Python — it leaks (daemonized, dies
+    with the process); if its blocked read later unblocks, any exception
+    it raised is logged to stderr rather than silently dropped."""
     import threading
 
     err: list[BaseException] = []
+    done = threading.Event()
 
     def work():
         try:
@@ -56,11 +74,26 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
             df.write.format("noop").mode("overwrite").save()
         except BaseException as e:  # surfaced by the caller
             err.append(e)
+            if done.is_set():  # post-timeout: caller already moved on
+                print(
+                    f"    [watchdog] leaked worker thread later raised: "
+                    f"{type(e).__name__}: {str(e)[:200]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
 
     t = threading.Thread(target=work, daemon=True)
     t.start()
     t.join(timeout_s)
     if t.is_alive():
+        done.set()
+        if err:  # a racing real failure beat the timeout — don't hide it
+            print(
+                f"    [watchdog] racing failure at timeout: "
+                f"{type(err[0]).__name__}: {str(err[0])[:200]}",
+                file=sys.stderr,
+                flush=True,
+            )
         try:
             spark.sparkContext.cancelAllJobs()
         except Exception:
@@ -69,31 +102,96 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
             spark.stop()  # kill the poisoned daemon pool; caller rebuilds
         except Exception:
             pass
-        raise WatchdogTimeout(f"query exceeded {timeout_s:.0f}s watchdog; session stopped")
+        raise WatchdogTimeout(
+            f"query exceeded {timeout_s:.0f}s watchdog; session stopped "
+            f"(worker thread leaked until process exit)"
+        )
     if err:
         raise err[0]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf10"
-    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
-    only = set(sys.argv[3:])
-
-    from traderjoe_etl_spark.queries import queries
+def _fresh_session(spark=None):
+    """Stop the given session (if any) and build a new one, recovering
+    even when the JVM process itself died (gateway reset)."""
     from traderjoe_etl_spark.session import get_spark
 
-    spark = get_spark("scale-audit")
+    if spark is not None:
+        # getOrCreate alone would hand back the SAME dead session: a
+        # JVM-side stop doesn't clear PySpark's _instantiatedSession
+        # singletons — only a Python-side stop() does.
+        try:
+            spark.stop()
+        except Exception:
+            pass
+    try:
+        spark = get_spark("scale-audit")
+    except Exception:
+        # the JVM PROCESS died (heap OOM kills local-mode outright): the
+        # py4j gateway is gone and getOrCreate just ECONNREFUSEDs against
+        # it. Reset the process-level gateway singletons so a brand-new
+        # JVM launches.
+        print("    gateway dead — launching a fresh JVM", file=sys.stderr, flush=True)
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        try:
+            if SparkContext._gateway is not None:
+                SparkContext._gateway.shutdown()
+        except Exception:
+            pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        with SparkContext._lock:
+            SparkContext._active_spark_context = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+        os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+        spark = get_spark("scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    def flag_val(prefix: str, default: str) -> str:
+        for a in flags:
+            if a.startswith(prefix + "="):
+                return a.split("=", 1)[1]
+        return default
+
+    sf_dir = pos[0] if len(pos) > 0 else "benchdata/sf10"
+    threshold = float(pos[1]) if len(pos) > 1 else 15.0
+    only = set(pos[2:])
+    recycle_every = int(flag_val("--recycle", "25"))
+    baseline_path = flag_val("--baseline", "")
+    ratio_flag = float(flag_val("--ratio-flag", "15"))
+
+    baseline_times: dict[str, float] = {}
+    if baseline_path:
+        with open(baseline_path) as f:
+            baseline_times = json.load(f).get("times", {})
+
+    from traderjoe_etl_spark.queries import queries
+
+    spark = _fresh_session()
     qs = queries()
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    import sys as _sys
 
-    for name in sorted(qs):
-        print(f"... {name}", file=_sys.stderr, flush=True)  # hang forensics
+    for i, name in enumerate(sorted(qs)):
+        if recycle_every and i and i % recycle_every == 0:
+            # Uniform protocol point: shed accumulated heap/daemon state so
+            # position in the sweep stops mattering (r7's two mid-sweep-only
+            # failures were ambient-pressure artifacts, not query bugs).
+            print(f"... recycling session at query {i}", file=sys.stderr, flush=True)
+            spark = _fresh_session(spark)
+        print(f"... {name}", file=sys.stderr, flush=True)  # hang forensics
         try:
             # time BUILD + execute: iterative queries do real work in
             # eager localCheckpoints during construction (BFS, pagerank) —
@@ -108,7 +206,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _run_with_watchdog(spark, qs[name], sf_dir, WATCHDOG_SEC)
             times[name] = round(time.perf_counter() - t0, 2)
-            print(f"    {name} {times[name]}s", file=_sys.stderr, flush=True)
+            print(f"    {name} {times[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep sweeping; report at the end
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
             # a query that killed the SparkContext (executor OOM in local
@@ -119,56 +217,34 @@ def main() -> None:
             except Exception:
                 dead = True
             if dead:
-                print(f"    {name} stopped the SparkContext — rebuilding session",
-                      file=_sys.stderr, flush=True)
-                # getOrCreate alone would hand back the SAME dead session:
-                # a JVM-side stop doesn't clear PySpark's _instantiatedSession
-                # singletons — only a Python-side stop() does.
-                try:
-                    spark.stop()
-                except Exception:
-                    pass
-                try:
-                    spark = get_spark("scale-audit")
-                except Exception:
-                    # the JVM PROCESS died (heap OOM kills local-mode
-                    # outright): the py4j gateway is gone and getOrCreate
-                    # just ECONNREFUSEDs against it. Reset the process-
-                    # level gateway singletons so a brand-new JVM launches.
-                    print("    gateway dead — launching a fresh JVM",
-                          file=_sys.stderr, flush=True)
-                    from pyspark import SparkContext
-                    from pyspark.sql import SparkSession
-
-                    try:
-                        if SparkContext._gateway is not None:
-                            SparkContext._gateway.shutdown()
-                    except Exception:
-                        pass
-                    SparkContext._gateway = None
-                    SparkContext._jvm = None
-                    with SparkContext._lock:
-                        SparkContext._active_spark_context = None
-                    SparkSession._instantiatedSession = None
-                    SparkSession._activeSession = None
-                    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
-                    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
-                    spark = get_spark("scale-audit")
-                spark.sparkContext.setLogLevel("ERROR")
+                print(
+                    f"    {name} stopped the SparkContext — rebuilding session",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark = _fresh_session(spark)
 
     ordered = dict(sorted(times.items(), key=lambda kv: -kv[1]))
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "n_queries": len(times),
-                "total_sec": round(sum(times.values()), 1),
-                "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
-                "times": ordered,
-                "errors": errors,
-            }
-        )
-    )
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(times),
+        "total_sec": round(sum(times.values()), 1),
+        "protocol": {"recycle_every": recycle_every, "watchdog_sec": WATCHDOG_SEC},
+        "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
+        "times": ordered,
+        "errors": errors,
+    }
+    if baseline_times:
+        ratios = {
+            k: round(v / baseline_times[k], 1)
+            for k, v in times.items()
+            if baseline_times.get(k)
+        }
+        ratios = dict(sorted(ratios.items(), key=lambda kv: -kv[1]))
+        out["baseline"] = baseline_path
+        out["ratio_vs_baseline"] = ratios
+        out["ratio_flagged"] = {k: v for k, v in ratios.items() if v > ratio_flag}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,16 +29,26 @@ class QueryDef:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # sf_dir -> True when the oracle is valid AT THAT SCALE. Queries whose
+    # engine side switches regime with corpus size (e.g. approx_percentiles'
+    # exact-regime sketch accuracy below a byte gate) register the SAME
+    # predicate here so a sweep at a bigger sf_dir degrades to rows-only
+    # instead of reporting a false FAIL. None → oracle valid everywhere.
+    oracle_gate: Callable[[str], bool] | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(
+    name: str,
+    oracle: str | None = None,
+    oracle_gate: Callable[[str], bool] | None = None,
+):
     """Register an engine query (decorator)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(name, fn, oracle)
+        REGISTRY[name] = QueryDef(name, fn, oracle, oracle_gate)
         return fn
 
     return deco
@@ -83,3 +93,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     load_all()
     return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+def oracle_gates() -> dict[str, Callable[[str], bool]]:
+    """Per-query scale-validity predicates for the oracles (see QueryDef).
+    The round driver always differentials at sf0.01 where every gate
+    passes; tools/oracle_sweep.py consults these for arbitrary sf_dirs."""
+    load_all()
+    return {
+        name: qd.oracle_gate for name, qd in REGISTRY.items() if qd.oracle_gate is not None
+    }

@@ -7,13 +7,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import apply_runtime_confs
-from ..sources.tables import read_table
+from ..sources.tables import read_table, table_bytes
 from . import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     return read_table(spark, sf_dir, name)
+
+
+def _exact_percentile_regime(sf_dir: str) -> bool:
+    """True when lineitem is inside approx_percentiles' accuracy-1e5
+    exact regime (rank error n/accuracy < 1), i.e. the byte gate the
+    engine side switches on — the oracle is only valid there."""
+    return 0 < table_bytes(sf_dir, "lineitem") <= (4 << 20)
 
 
 @query(
@@ -123,28 +130,43 @@ def array_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     GROUP BY l_returnflag
     """,
+    oracle_gate=_exact_percentile_regime,
 )
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (single-pass Greenwald-Khanna summary) — the
     100-TB quantile path; the exact sort-based twin is percentiles_by_flag.
 
     Exact-regime oracle (the kll_quantile_rollup / theta_sketch_setops
-    rule), SIZE-GATED because GK summary cost grows superlinearly with
-    accuracy (measured sf10: 11.3 s at 1e4, 35.7 s at 1e5, 1e6 never
-    finished — a blanket high accuracy is a scale killer, caught live in
-    the r7 sf100 audit): at oracle scale (lineitem ≤ 4 MB ≈ ≤170k rows,
-    groups ≪ 1e5) the query runs accuracy 1e5, where the rank error
-    bound n/accuracy < 1 makes the returned value the EXACT order
-    statistic at 1-indexed rank ceil(q·n) (verified empirically at
-    sf0.01, n≈20k/group); above the gate it runs the scale-safe 1e4
-    default and the result is the documented ±n·1e-4-rank estimate —
-    exactly how a real user sizes sketch capacity to an error budget.
-    The differential sweep only evaluates the oracle at sf0.01."""
-    from ..sources.tables import table_bytes
+    rule), with a SIZE-GATED accuracy LADDER because GK per-row insert
+    cost grows superlinearly with sketch capacity — NOT with group
+    count, and not from ambient sweep pressure (r8 fresh-session sf100
+    anatomy, 600M rows: scan floor 4.8 s; groupBy(flag).count 3.1 s;
+    acc=1e3 42.1 s; acc=1e4 UNGROUPED 240.3 s vs grouped 275.5 s — the
+    r7 audit's 48.8x "anomaly" was real and is this insert cost). The
+    compress pass every ~50k inserts touches the whole sampled array,
+    whose length scales with accuracy, so cost/row rises ~6x from 1e3
+    to 1e4 and a blanket 1e5 was measured as a scale killer (35.7 s at
+    sf10, 1e6 never finished — caught live in r7).
 
+    Ladder (capacity sized to the corpus, the way a real user sizes a
+    sketch to an error budget):
+      * lineitem <= 4 MB (oracle scale, <=170k rows): accuracy 1e5 —
+        rank error n/accuracy < 1, so the answer IS the exact order
+        statistic at 1-indexed rank ceil(q*n) (verified empirically at
+        sf0.01; the differential sweep only evaluates the oracle here);
+      * <= 2 GB (~60M rows): 1e4 — documented +-n*1e-4 rank estimate;
+      * above: 1e3 — +-0.1% rank error (p99 lands in [p98.9, p99.1]),
+        sf100 runs ~42 s instead of 275 s and the sf10->sf100 growth is
+        ~3.8x on 10x data.
+    Escape hatch when v's distinct count << n (true of this synthetic
+    corpus: 583k distinct prices over 600M rows): pre-aggregate per
+    (group, v) counts and take EXACT weighted quantiles via the
+    distributed prefix scan — the weighted_quantiles_price query is
+    that path; the sketch is the right tool when values are continuous
+    and any per-value pre-agg would not shrink the relation."""
     li = _t(spark, sf_dir, "lineitem")
     lb = table_bytes(sf_dir, "lineitem")
-    acc = 100000 if 0 < lb <= (4 << 20) else 10000
+    acc = 100000 if 0 < lb <= (4 << 20) else (10000 if lb <= (2 << 30) else 1000)
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", 0.5, acc).alias("approx_median_price"),
         F.approx_percentile("l_extendedprice", 0.99, acc).alias("approx_p99_price"),
