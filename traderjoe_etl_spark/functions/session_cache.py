@@ -59,17 +59,30 @@ def get_df(
 
 
 def get_value(
-    cache: dict[tuple[str, str], Any],
+    cache: dict[tuple, Any],
     spark: SparkSession,
     key_suffix: str,
     build: Callable[[], Any],
+    *,
+    evict_key: str | None = None,
 ) -> Any:
     """Fetch-or-build a session-scoped cached PLAIN value (numpy arrays,
     python objects — nothing bound to a SparkContext, so no liveness check
-    is needed; the applicationId key only scopes eviction)."""
-    key = (spark.sparkContext.applicationId, key_suffix)
+    is needed; the applicationId key only scopes eviction).
+
+    ``evict_key`` is a coarser identity for same-application staleness
+    eviction: when the SAME (application, evict_key) reappears with a
+    DIFFERENT key_suffix (e.g. a regenerated benchdata table under the
+    same path — key_suffix carries a content fingerprint, evict_key only
+    the path+tag), the old entry is dropped instead of accumulating
+    forever in a long-lived session (ADVICE r7)."""
+    app = spark.sparkContext.applicationId
+    group = evict_key if evict_key is not None else key_suffix
+    key = (app, group, key_suffix)
     if key not in cache:
-        for k in [k for k in cache if k[0] != key[0]]:
+        for k in [
+            k for k in cache if k[0] != app or (k[1] == group and k[2] != key_suffix)
+        ]:
             del cache[k]
         cache[key] = build()
     return cache[key]

@@ -234,8 +234,15 @@ def _collect_query_bank(
         return _pull()
     from ..functions import session_cache
 
+    # cache_key convention (the llm_ops call sites): "sf_dir::fp::tag"
+    # where fp is the corpus content fingerprint. The eviction group drops
+    # the fingerprint so regenerating a table under the same path replaces
+    # the stale bank instead of accumulating keys forever in a long-lived
+    # session (ADVICE r7).
+    parts = cache_key.split("::")
+    evict = f"{parts[0]}::{parts[2]}" if len(parts) == 3 else cache_key
     return session_cache.get_value(
-        _QUERY_BANKS, queries.sparkSession, cache_key, _pull
+        _QUERY_BANKS, queries.sparkSession, cache_key, _pull, evict_key=evict
     )
 
 

@@ -29,7 +29,18 @@ def stream_position_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, streaming/stateful.py) driven to completion over the events
     table and reduced to final per-user state — which must equal the batch
     signed fold, so the oracle checks the STATEFUL path against plain SQL.
-    """
+
+    SCALE CONTRACT (the Python-stateful floor, measured r7): this path
+    runs ~600k rows/s per node — every event crosses the JVM→Python Arrow
+    boundary and a pandas group loop. Fine at sf100 (156.7 s for 100M
+    events); at a real 100 TB (~1e12 events) it is a multi-day
+    single-node job and parallelism is the ONLY lever. Use
+    applyInPandasWithState ONLY when per-key logic genuinely needs
+    imperative Python; everything expressible as windows/aggregations/
+    dedup has a JVM twin in this repo (stream_dedup_events,
+    stream_hourly_rollup, session windows, interval joins) that runs
+    ~10-50x this throughput. The BENCH.md r7/r8 streaming-floor anatomy
+    carries the numbers."""
     from ..streaming.stateful import running_position_tracker
 
     apply_runtime_confs(spark)

@@ -1005,9 +1005,23 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE exploded pass tagging each n-gram with its n (the
     three gram streams are built inside the same generator projection),
     then count-distinct via two-level partial aggregation — groupBy
-    (source, n, gram) map-combines to unique grams before any shuffle,
-    then (source, n) folds counts, so the exchange carries |vocab|-scale
-    rows, never corpus-scale token streams. No windows, no joins."""
+    (source, n, gram-hash) map-combines to unique grams before any
+    shuffle, then (source, n) folds counts, so the exchange carries
+    |vocab|-scale rows, never corpus-scale token streams. No windows,
+    no joins.
+
+    Gram identity is the CHAINED-xxhash64 family (the minhash fast-path
+    lesson): each token is hashed ONCE, and a bigram/trigram hash chains
+    the neighbouring token HASHES (multi-arg xxhash64 — the accumulated
+    seed disambiguates boundaries, no ' '-joined string is ever built),
+    so n-gram strings are never materialized and the distinct shuffle
+    carries 8-byte longs instead of ~20-40-byte trigram strings. The
+    oracle counts DISTINCT over the raw gram strings — equal counts
+    absent 2^-64 hash collisions (hash values never reach the output;
+    the sparse_shingle/exact-substring portability rule). r8 sf1
+    anatomy of the string form: 1.66 s = tokenize 0.19 + gram-string
+    build 0.39 + explode 0.20 + distinct agg 0.77 + final 0.10; the
+    hash family removes most of the build and agg terms."""
     docs = _t(spark, sf_dir, "documents")
     # empty-token filter — zipf_slope_by_source's convention, both engines
     toks = docs.select(
@@ -1016,23 +1030,26 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
         ).alias("w"),
     )
+    hashed = toks.select(
+        "source", F.expr("transform(w, t -> xxhash64(t))").alias("h")
+    )
     grams = F.expr(
         "concat("
-        " transform(w, t -> struct(1 AS n, t AS gram)),"
-        " CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
-        "   i -> struct(2 AS n, concat(element_at(w, i), ' ',"
-        "                              element_at(w, i + 1)) AS gram))"
+        " transform(h, x -> struct(1 AS n, x AS gh)),"
+        " CASE WHEN size(h) >= 2 THEN transform(sequence(1, size(h) - 1),"
+        "   i -> struct(2 AS n, xxhash64(element_at(h, i),"
+        "                                element_at(h, i + 1)) AS gh))"
         "      ELSE array() END,"
-        " CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2),"
-        "   i -> struct(3 AS n, concat(element_at(w, i), ' ',"
-        "                              element_at(w, i + 1), ' ',"
-        "                              element_at(w, i + 2)) AS gram))"
+        " CASE WHEN size(h) >= 3 THEN transform(sequence(1, size(h) - 2),"
+        "   i -> struct(3 AS n, xxhash64(element_at(h, i),"
+        "                                element_at(h, i + 1),"
+        "                                element_at(h, i + 2)) AS gh))"
         "      ELSE array() END)"
     )
-    exploded = toks.select("source", F.explode(grams).alias("g")).select(
-        "source", "g.n", "g.gram"
+    exploded = hashed.select("source", F.explode(grams).alias("g")).select(
+        "source", "g.n", "g.gh"
     )
-    per_gram = exploded.groupBy("source", "n", "gram").agg(
+    per_gram = exploded.groupBy("source", "n", "gh").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     return per_gram.groupBy("source", "n").agg(

@@ -57,9 +57,13 @@ def table_bytes(sf_dir: str, name: str) -> int:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
+            # os.walk: a PARTITIONED layout nests part files under
+            # key=value dirs — a top-level listdir would read it as
+            # 0 bytes / unchanged after regeneration (ADVICE r7).
             return sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
             )
         return os.path.getsize(path)
@@ -78,8 +82,9 @@ def table_fingerprint(sf_dir: str, name: str) -> str:
     try:
         if os.path.isdir(path):
             files = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
+                os.path.join(root, f)
+                for root, _, fs in os.walk(path)  # nested/partitioned layouts too
+                for f in fs
                 if f.endswith(".parquet")
             ]
             sz = sum(os.path.getsize(f) for f in files)
