@@ -360,6 +360,17 @@ def test_global_window_lint_unit(spark):
     pref = global_running_agg(df, "v", {"rs": ("x", "sum")}, checkpoint=False)
     assert not global_window_violations(pref), "__pid offsets are bounded"
 
+    # a limit on ONE join branch must NOT whitelist a global window over
+    # the join output — the other branch still flows corpus-scale rows
+    dims = spark.range(20).select(F.col("id").alias("v"), F.lit("d").alias("tag"))
+    joined = df.join(dims.orderBy("v").limit(3), "v")
+    ranked_join = joined.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rk")
+    )
+    assert global_window_violations(ranked_join), (
+        "one-branch limit must not bound the join output"
+    )
+
 
 def test_no_unbounded_global_windows_registry_wide(spark, qs):
     """EVERY registered query's optimized plan must be free of

@@ -56,13 +56,19 @@ class WatchdogTimeout(RuntimeError):
     pass
 
 
-def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
+def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float, lint: list | None = None) -> None:
     """Build + noop-save one query in a worker thread; on timeout cancel
     all jobs, stop the (suspect) session so the caller's recovery path
     rebuilds it, and raise WatchdogTimeout. The timed-out worker thread
     itself cannot be killed from Python — it leaks (daemonized, dies
     with the process); if its blocked read later unblocks, any exception
-    it raised is logged to stderr rather than silently dropped."""
+    it raised is logged to stderr rather than silently dropped.
+
+    ``lint`` (optional list) collects empty-partition-spec-window
+    violations found in the built plan AT THIS sf_dir — size-gated
+    queries pick different physical branches at audit scales than at the
+    pytest lint's sf0.01, so the audit re-checks the branch that
+    actually runs here."""
     import threading
 
     err: list[BaseException] = []
@@ -71,6 +77,13 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
     def work():
         try:
             df = fn(spark, sf_dir)
+            if lint is not None:
+                try:
+                    from traderjoe_etl_spark.plans.audit import global_window_violations
+
+                    lint.extend(global_window_violations(df))
+                except Exception:
+                    pass  # lint must never fail the timing run
             df.write.format("noop").mode("overwrite").save()
         except BaseException as e:  # surfaced by the caller
             err.append(e)
@@ -87,13 +100,11 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
     t.join(timeout_s)
     if t.is_alive():
         done.set()
+        racing = ""
         if err:  # a racing real failure beat the timeout — don't hide it
-            print(
-                f"    [watchdog] racing failure at timeout: "
-                f"{type(err[0]).__name__}: {str(err[0])[:200]}",
-                file=sys.stderr,
-                flush=True,
-            )
+            racing = f"; racing failure: {type(err[0]).__name__}: {str(err[0])[:150]}"
+            print(f"    [watchdog] racing failure at timeout: {racing}",
+                  file=sys.stderr, flush=True)
         try:
             spark.sparkContext.cancelAllJobs()
         except Exception:
@@ -104,7 +115,7 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float) -> None:
             pass
         raise WatchdogTimeout(
             f"query exceeded {timeout_s:.0f}s watchdog; session stopped "
-            f"(worker thread leaked until process exit)"
+            f"(worker thread leaked until process exit){racing}"
         )
     if err:
         raise err[0]
@@ -153,21 +164,33 @@ def _fresh_session(spark=None):
 
 
 def main() -> None:
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-
-    def flag_val(prefix: str, default: str) -> str:
-        for a in flags:
-            if a.startswith(prefix + "="):
-                return a.split("=", 1)[1]
-        return default
+    # strict flag parsing: --name=value only. A typo'd/unknown flag or a
+    # space-separated value ("--recycle 10" puts 10 into the positionals
+    # as a bogus threshold) silently misconfigures a multi-hour sweep —
+    # fail fast instead.
+    KNOWN = {"--recycle", "--baseline", "--ratio-flag"}
+    flag_vals: dict[str, str] = {}
+    pos: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("--"):
+            name, eq, val = a.partition("=")
+            if name not in KNOWN or not eq:
+                sys.exit(
+                    f"unknown or valueless flag {a!r} — flags are "
+                    f"{sorted(KNOWN)} and take --name=value"
+                )
+            if name in flag_vals:
+                sys.exit(f"duplicate flag {name}")
+            flag_vals[name] = val
+        else:
+            pos.append(a)
 
     sf_dir = pos[0] if len(pos) > 0 else "benchdata/sf10"
     threshold = float(pos[1]) if len(pos) > 1 else 15.0
     only = set(pos[2:])
-    recycle_every = int(flag_val("--recycle", "25"))
-    baseline_path = flag_val("--baseline", "")
-    ratio_flag = float(flag_val("--ratio-flag", "15"))
+    recycle_every = int(flag_vals.get("--recycle", "25"))
+    baseline_path = flag_vals.get("--baseline", "")
+    ratio_flag = float(flag_vals.get("--ratio-flag", "15"))
 
     baseline_times: dict[str, float] = {}
     if baseline_path:
@@ -183,6 +206,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    lint_hits: dict[str, list[str]] = {}
+    try:  # same justified whitelist as the pytest lint
+        from tests.test_plan_shapes import _GLOBAL_WINDOW_WHITELIST as _wl
+    except Exception:
+        _wl = set()
 
     for i, name in enumerate(sorted(qs)):
         if recycle_every and i and i % recycle_every == 0:
@@ -203,9 +231,12 @@ def main() -> None:
             # an audit because minhash's cache was still warm; its honest
             # standalone cost is candidates + verify (~28s).
             spark.catalog.clearCache()
+            lint: list[str] = []
             t0 = time.perf_counter()
-            _run_with_watchdog(spark, qs[name], sf_dir, WATCHDOG_SEC)
+            _run_with_watchdog(spark, qs[name], sf_dir, WATCHDOG_SEC, lint=lint)
             times[name] = round(time.perf_counter() - t0, 2)
+            if lint and name not in _wl:
+                lint_hits[name] = [s[:160] for s in lint]
             print(f"    {name} {times[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep sweeping; report at the end
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
@@ -233,6 +264,10 @@ def main() -> None:
         "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
         "times": ordered,
         "errors": errors,
+        # empty-partition-spec windows found in the AT-SCALE plan branch
+        # (size-gated queries pick different physical plans here than at
+        # the pytest lint's sf0.01) — non-empty = a scale-killer shipped
+        "global_window_lint": lint_hits,
     }
     if baseline_times:
         ratios = {

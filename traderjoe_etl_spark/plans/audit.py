@@ -65,20 +65,24 @@ def global_window_violations(df: DataFrame) -> list[str]:
         s = n.children()
         return [s.apply(i) for i in range(s.size())]
 
-    def has_limit_below(n) -> bool:
-        for c in kids(n):
-            if c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
-                return True
-            if has_limit_below(c):
-                return True
-        return False
+    def is_bounded(n) -> bool:
+        """Output cardinality bounded by construction. A Limit bounds its
+        subtree; multi-child nodes (joins, unions) are bounded only when
+        EVERY child is — a limit on one join branch does NOT bound the
+        other branch's corpus-scale rows flowing through the join."""
+        if n.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        cs = kids(n)
+        if not cs:
+            return False
+        return all(is_bounded(c) for c in cs)
 
     def visit(n) -> None:
         if n.getClass().getSimpleName() == "Window" and n.partitionSpec().size() == 0:
             order = n.orderSpec()
             keys = [order.apply(i).child().toString() for i in range(order.size())]
             pid_keyed = bool(keys) and all("__pid" in k for k in keys)
-            if not pid_keyed and not has_limit_below(n):
+            if not pid_keyed and not all(is_bounded(c) for c in kids(n)):
                 bad.append(n.simpleString(120))
         for c in kids(n):
             visit(c)

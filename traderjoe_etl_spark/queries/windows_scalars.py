@@ -122,6 +122,11 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie semantics are EXACT (the order key (c_acctbal, c_custkey) is
     total — c_custkey is unique), so the unchanged ntile oracle holds.
+    The rank-back join is NULL-SAFE (eqNullSafe): a NULL c_acctbal forms
+    its own groupBy group and range-sorts FIRST (Spark's ASC default,
+    matching the old F.ntile window's NULLS FIRST), so such rows keep
+    ranking instead of silently dropping out of an equi-join (r8 review;
+    latent — the generators never emit NULL balances).
     greatest(q,1) guards the ANSI div in the otherwise-branch that is
     unreachable when q=0 (N<4 puts every row in the r<=cut branch)."""
     cust = _t(spark, sf_dir, "customer")
@@ -134,7 +139,11 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         cust.select("c_acctbal", "c_custkey")
         .withColumn("__tie", F.row_number().over(w_tie).cast("long"))
-        .join(pref.select("c_acctbal", "__below"), "c_acctbal")
+        .join(
+            pref.select(F.col("c_acctbal").alias("__v"), "__below"),
+            F.col("c_acctbal").eqNullSafe(F.col("__v")),
+        )
+        .drop("__v")
         .crossJoin(F.broadcast(total))
         .withColumn("__r", F.coalesce(F.col("__below"), F.lit(0).cast("long")) + F.col("__tie"))
     )
