@@ -32,6 +32,7 @@ include that setup; they are still comparable round-over-round.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -231,6 +232,22 @@ def main() -> None:
             # an audit because minhash's cache was still warm; its honest
             # standalone cost is candidates + verify (~28s).
             spark.catalog.clearCache()
+            # Then drop THIS process's references and force a full JVM GC
+            # (outside the timer): broadcast hash relations and
+            # localCheckpoint blocks from prior queries are only reaped by
+            # ContextCleaner once the JVM-side objects become weakly
+            # reachable, which needs the Python refs gone (gc.collect) AND
+            # a driver GC cycle (System.gc) — in local mode driver ==
+            # executor, so un-reaped blocks squeeze the shared
+            # execution-memory pool. r8's uniform-protocol sf100 sweep hit
+            # exactly this: a HashAggregate 140 queries in could not
+            # acquire its initial 256 KB page while the heap was full of
+            # unreferenced prior-query blocks awaiting collection.
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             lint: list[str] = []
             t0 = time.perf_counter()
             _run_with_watchdog(spark, qs[name], sf_dir, WATCHDOG_SEC, lint=lint)

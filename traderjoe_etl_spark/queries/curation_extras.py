@@ -317,8 +317,24 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8 GB driver into a SparkContext-killing stage failure — edges are
     read once per round sequentially, so heap caching buys nothing a
     local disk read doesn't."""
+    from ..sources.tables import table_bytes
+
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # The edge distinct runs REDUCE-SIDE over a corpus-scaled key
+    # repartition (the Q16 pattern, subquery_shapes.py): (src, dst) pairs
+    # barely deduplicate (~1.2:1 — a customer rarely repeats the same
+    # supplier inside the one-year window), so map-side partial
+    # aggregation grows a near-input-sized hash map in EVERY concurrent
+    # scan task. At sf100 that was the registry's last mid-sweep
+    # UNABLE_TO_ACQUIRE_MEMORY site (r8 uniform-protocol audit: 32 tasks'
+    # partial maps + ambient heap left HashAggregate unable to claim its
+    # initial 256 KB page). The exact-key repartition satisfies the
+    # distinct's required distribution, so the aggregation happens only
+    # post-exchange in bounded tasks; at or below the session default
+    # width the repartition IS the distinct's own exchange and small
+    # corpora pay nothing.
+    w = max(32, min(1024, table_bytes(sf_dir, "lineitem") // (2 << 20)))
     edges = (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -329,7 +345,8 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(_PR_SUPPLIER_OFFSET)).alias("dst"),
         )
-        .distinct()
+        .repartition(w, "src", "dst")
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     nodes = edges.select(F.col("src").alias("node")).union(

@@ -205,10 +205,17 @@ def correlated_avg_small_orders_q17(spark: SparkSession, sf_dir: str) -> DataFra
 def having_in_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: `o_orderkey IN (SELECT … HAVING sum > 300)`,
     decorrelated to aggregate-then-join. sum(l_quantity) partial-aggregates
-    map-side; the >300 filter drops ~99.7% of orders BEFORE the join, so the
-    join probe side is tiny (46 orders at sf0.01) and broadcasts. Quantities
-    are small integers — double sums are exact, the 300 threshold and the
-    output value are engine-stable."""
+    map-side; the >300 filter drops ~99.7% of orders BEFORE the join, so
+    the join probe side is tiny (46 orders at sf0.01). Broadcast decisions
+    are AQE's, NOT forced: the filtered side's size is only knowable from
+    runtime shuffle stats (AQE converts the join to broadcast dynamically
+    when it fits), and a hard F.broadcast(customer) pin — correct-looking
+    at bench scale where customer is 15k rows — tried to build a 15M-row
+    driver-side hash relation at sf100 and died with "Not enough memory to
+    build and broadcast" mid-sweep (r8 audit). A dimension that scales
+    WITH the corpus is not a broadcast dim; only AQE sees the difference.
+    Quantities are small integers — double sums are exact, the 300
+    threshold and the output value are engine-stable."""
     large = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -218,8 +225,8 @@ def having_in_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(large), orders.o_orderkey == large.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(large, orders.o_orderkey == large.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",

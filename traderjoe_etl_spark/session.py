@@ -94,9 +94,17 @@ def get_spark(app_name: str = "traderjoe_etl_spark", master: str | None = None) 
     intentionally-high initial value.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # local[N, 4]: restore the CLUSTER default of 4 task attempts. Bare
+    # local[N] pins maxTaskFailures to 1 — a fail-fast quirk of local
+    # mode, not the execution model this engine targets: on a real
+    # cluster a task that hits transient executor pressure (e.g.
+    # UNABLE_TO_ACQUIRE_MEMORY while concurrent sorts drain the pool)
+    # retries after the contenders release and succeeds. Deterministic
+    # failures still fail — four attempts exhaust in seconds.
+    retries = int(os.environ.get("SPARK_GRAFT_TASK_ATTEMPTS", "4"))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or f"local[{cpus},{retries}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
