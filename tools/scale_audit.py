@@ -277,7 +277,16 @@ def main() -> None:
         "sf_dir": sf_dir,
         "n_queries": len(times),
         "total_sec": round(sum(times.values()), 1),
-        "protocol": {"recycle_every": recycle_every, "watchdog_sec": WATCHDOG_SEC},
+        # self-describing protocol: per-query GC and the task-attempt count
+        # change individual timings (up to ~4x for late-sweep queries), so
+        # artifacts must record which protocol produced them before being
+        # used as a --baseline denominator.
+        "protocol": {
+            "recycle_every": recycle_every,
+            "watchdog_sec": WATCHDOG_SEC,
+            "per_query_gc": True,
+            "task_attempts": int(os.environ.get("SPARK_GRAFT_TASK_ATTEMPTS", "4")),
+        },
         "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
         "times": ordered,
         "errors": errors,

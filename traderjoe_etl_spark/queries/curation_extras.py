@@ -334,7 +334,7 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-exchange in bounded tasks; at or below the session default
     # width the repartition IS the distinct's own exchange and small
     # corpora pay nothing.
-    w = max(32, min(1024, table_bytes(sf_dir, "lineitem") // (2 << 20)))
+    edge_parts = max(32, min(1024, table_bytes(sf_dir, "lineitem") // (2 << 20)))
     edges = (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -345,7 +345,7 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(_PR_SUPPLIER_OFFSET)).alias("dst"),
         )
-        .repartition(w, "src", "dst")
+        .repartition(edge_parts, "src", "dst")
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )

@@ -88,7 +88,9 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 def get_spark(app_name: str = "traderjoe_etl_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS, $SPARK_GRAFT_TASK_ATTEMPTS]``
+    (``local[*,4]`` unless overridden) — core count from SPARK_GRAFT_CPUS,
+    task attempts (cluster default 4) from SPARK_GRAFT_TASK_ATTEMPTS.
     ``spark.sql.shuffle.partitions`` is sized to the local core count — at
     cluster scale this is instead governed by AQE coalescing from an
     intentionally-high initial value.
