@@ -390,3 +390,131 @@ def test_no_unbounded_global_windows_registry_wide(spark, qs):
     assert not real, "unbounded global windows:\n" + "\n".join(
         f"{k}: {v[0][:160]}" for k, v in sorted(real.items())
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide lint: no broadcast HINT over an unaggregated corpus-scaled
+# scan (VERDICT r8 item 1 — the q18 class: F.broadcast(customer) is
+# correct-looking at bench scale, "Not enough memory to build and broadcast"
+# at sf100; a hint overrides the engine's stats unconditionally, so it must
+# never wrap a relation that grows with the corpus).
+
+
+# Whitelisted broadcast hints: every entry applies its hint via
+# operators.joins.gated_broadcast — a table_bytes-gated pin that DECLINES
+# itself past a byte cap, so the hint the lint sees at small SF is gone at
+# corpus scale (test_gated_broadcasts_decline_at_scale pins the decline
+# against the 160 GB benchdata/sf100 plans). Each entry's factor derivation
+# lives at its call site.
+_FORCED_BROADCAST_WHITELIST = {
+    # order_nation map (1-of-6-years x 2-of-6-cols of orders) + the 2-of-5-col
+    # customer projection; both decline at sf100 (est 115 MB / 70 MB >= cap).
+    "local_supplier_volume_q5",
+    # 2-of-25-nation customer cohort + its order map: genuinely selective, so
+    # both stay under cap through sf100 (est ~6 / ~55 MB) and decline ~sf120+.
+    "volume_shipping_q7",
+    # custkey->region map (2-of-5 cols of customer, declines at sf100) + the
+    # small-SF branch's order_region map (already inside an orders<96MB
+    # table_bytes branch — gated by construction, never built at scale).
+    "revenue_by_region",
+}
+
+
+def test_forced_broadcast_lint_unit(spark):
+    """The lint itself: flags a pinned corpus dim; accepts aggregated /
+    limit-capped / fixed-cardinality build sides; and gated_broadcast
+    declines (= lint-clean) past its byte cap."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.operators.joins import gated_broadcast
+    from traderjoe_etl_spark.plans.audit import forced_broadcast_violations
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    sf = SF
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    nation = read_table(spark, sf, "nation")
+
+    # deliberately-pinned corpus dim — the q18 bug, must flag
+    dim = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    bad = forced_broadcast_violations(orders.join(F.broadcast(dim), orders.o_orderkey == dim.l_orderkey))
+    assert bad and "l_" in bad[0], f"pinned corpus dim must flag: {bad}"
+
+    # aggregated build side is reduced by construction — clean
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert not forced_broadcast_violations(orders.crossJoin(F.broadcast(agg)))
+
+    # limit-capped corpus side (top-k cut) — clean
+    cut = li.select("l_orderkey").orderBy("l_orderkey").limit(5)
+    assert not forced_broadcast_violations(
+        orders.join(F.broadcast(cut), orders.o_orderkey == cut.l_orderkey)
+    )
+
+    # fixed-cardinality dim — clean
+    assert not forced_broadcast_violations(
+        orders.crossJoin(F.broadcast(nation.limit(1).drop("n_name")))
+    )
+
+    # gated_broadcast: hint under the cap (flags, whitelist territory)...
+    hinted = orders.join(
+        gated_broadcast(li.select("l_orderkey"), sf, "lineitem", factor=1.0),
+        orders.o_orderkey == F.col("l_orderkey"),
+    )
+    assert forced_broadcast_violations(hinted)
+    # ...and DECLINED past the cap (cap_bytes=1 forces the at-scale branch)
+    declined = orders.join(
+        gated_broadcast(li.select("l_orderkey"), sf, "lineitem", factor=1.0, cap_bytes=1),
+        orders.o_orderkey == F.col("l_orderkey"),
+    )
+    assert not forced_broadcast_violations(declined)
+    # unknown table stat -> conservative: no hint
+    unknown = orders.join(
+        gated_broadcast(li.select("l_orderkey"), "/nonexistent", "lineitem"),
+        orders.o_orderkey == F.col("l_orderkey"),
+    )
+    assert not forced_broadcast_violations(unknown)
+
+
+def test_no_forced_corpus_broadcasts_registry_wide(spark, qs):
+    """EVERY registered query's optimized plan must be free of broadcast
+    hints over unaggregated corpus-scaled scans — the q18 OOM class. The
+    manual grep audit found q18's bug only after an sf100 OOM; this net
+    catches the next one at pytest time. Whitelist entries must stay
+    justified (size-gated) and non-stale."""
+    from traderjoe_etl_spark.plans.audit import forced_broadcast_violations
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(qs.items()):
+        bad = forced_broadcast_violations(fn(spark, SF))
+        if bad:
+            offenders[name] = bad
+    stale = _FORCED_BROADCAST_WHITELIST - set(offenders)
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+    real = {k: v for k, v in offenders.items() if k not in _FORCED_BROADCAST_WHITELIST}
+    assert not real, "forced corpus-dim broadcasts:\n" + "\n".join(
+        f"{k}: {v[0][:160]}" for k, v in sorted(real.items())
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("benchdata/sf100"),
+    reason="benchdata/sf100 not generated on this box",
+)
+def test_gated_broadcasts_decline_at_scale(spark, qs):
+    """The whitelist's justification, pinned: building the SAME queries
+    against the 160 GB benchdata/sf100 tables (plan-build only — lazy, no
+    execution), the table_bytes gates must have DECLINED every hint whose
+    estimate crossed the cap. q5 and revenue_by_region go fully clean; q7's
+    2-of-25-nation cohort stays legitimately under cap (its estimate scales
+    with customer/orders bytes, so it declines at larger corpora — the
+    mechanism is covered by the cap_bytes=1 arm of the unit test)."""
+    from traderjoe_etl_spark.plans.audit import forced_broadcast_violations
+
+    sf100 = "benchdata/sf100"
+    assert forced_broadcast_violations(qs["local_supplier_volume_q5"](spark, sf100)) == []
+    assert forced_broadcast_violations(qs["revenue_by_region"](spark, sf100)) == []
+    # q7: both hints remain (selective cohort, under cap at this scale) —
+    # same set as at sf0.01, nothing new appears at scale
+    q7_small = forced_broadcast_violations(qs["volume_shipping_q7"](spark, SF))
+    q7_big = forced_broadcast_violations(qs["volume_shipping_q7"](spark, sf100))
+    assert set(q7_big) <= set(q7_small)

@@ -1,0 +1,56 @@
+"""Regression tests for the scale-audit harness internals (tools/
+scale_audit.py): the pass-on-retry detector and the protocol's
+task-attempt recording. These are the audit artifact's evidentiary chain
+(VERDICT r8 items 1-2): under local[N,4] a transient task failure is
+retried silently and must surface as a non-zero ``failed_tasks`` entry
+instead of only inflated wall time."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.scale_audit import _failed_tasks_for_group, _run_with_watchdog, _task_attempts
+
+
+def test_failed_tasks_detects_pass_on_retry(spark):
+    """A task that fails on attempt 0 and passes on attempt 1 (the
+    invisible class) must be counted for its job group."""
+
+    def flaky(spark_, _sf_dir):
+        from pyspark import TaskContext
+
+        def fail_once(it):
+            tc = TaskContext.get()
+            if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+                raise RuntimeError("transient (deliberate test failure)")
+            yield from it
+
+        rdd = spark_.sparkContext.parallelize(range(100), 4).mapPartitions(fail_once)
+        return spark_.createDataFrame(rdd.map(lambda x: (x,)), "v: long")
+
+    group = "audit-test:flaky"
+    lint = {"window": [], "broadcast": []}
+    _run_with_watchdog(spark, flaky, "/root/testdata/sf0.001", 300, lint=lint, job_group=group)
+    assert _failed_tasks_for_group(spark, group) >= 1
+
+    # and a clean query reports 0 for ITS group (no cross-contamination)
+    def clean(spark_, _sf_dir):
+        return spark_.range(100).selectExpr("sum(id) as s")
+
+    group2 = "audit-test:clean"
+    _run_with_watchdog(spark, clean, "/root/testdata/sf0.001", 300, job_group=group2)
+    assert _failed_tasks_for_group(spark, group2) == 0
+
+
+def test_task_attempts_from_live_master(spark):
+    """Protocol recording reads the LIVE master string (ADVICE r8), not
+    the env: local[N,M] → M, bare local[N] → 1."""
+    got = _task_attempts(spark)
+    master = spark.sparkContext.master
+    if "," in master:
+        assert got == int(master[master.index(",") + 1 : master.index("]")])
+    else:
+        assert got == 1

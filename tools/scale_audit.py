@@ -57,7 +57,14 @@ class WatchdogTimeout(RuntimeError):
     pass
 
 
-def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float, lint: list | None = None) -> None:
+def _run_with_watchdog(
+    spark,
+    fn,
+    sf_dir: str,
+    timeout_s: float,
+    lint: dict | None = None,
+    job_group: str | None = None,
+) -> None:
     """Build + noop-save one query in a worker thread; on timeout cancel
     all jobs, stop the (suspect) session so the caller's recovery path
     rebuilds it, and raise WatchdogTimeout. The timed-out worker thread
@@ -65,11 +72,18 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float, lint: list | No
     with the process); if its blocked read later unblocks, any exception
     it raised is logged to stderr rather than silently dropped.
 
-    ``lint`` (optional list) collects empty-partition-spec-window
-    violations found in the built plan AT THIS sf_dir — size-gated
-    queries pick different physical branches at audit scales than at the
-    pytest lint's sf0.01, so the audit re-checks the branch that
-    actually runs here."""
+    ``lint`` (optional dict with "window"/"broadcast" lists) collects
+    plan-lint violations found in the built plan AT THIS sf_dir —
+    size-gated queries pick different physical branches at audit scales
+    than at the pytest lint's sf0.01, so the audit re-checks the branch
+    that actually runs here (window lint: empty-partition-spec windows;
+    broadcast lint: hints over unaggregated corpus scans — gated hints
+    must have DECLINED themselves at audit scale).
+
+    ``job_group`` tags the run's jobs so the caller can read per-query
+    failed-task counts afterwards. Set INSIDE the worker thread: PySpark
+    pins each Python thread to its own JVM thread, so a group set on the
+    calling thread would not tag the worker's jobs."""
     import threading
 
     err: list[BaseException] = []
@@ -77,12 +91,18 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float, lint: list | No
 
     def work():
         try:
+            if job_group:
+                spark.sparkContext.setJobGroup(job_group, "scale audit")
             df = fn(spark, sf_dir)
             if lint is not None:
                 try:
-                    from traderjoe_etl_spark.plans.audit import global_window_violations
+                    from traderjoe_etl_spark.plans.audit import (
+                        forced_broadcast_violations,
+                        global_window_violations,
+                    )
 
-                    lint.extend(global_window_violations(df))
+                    lint["window"].extend(global_window_violations(df))
+                    lint["broadcast"].extend(forced_broadcast_violations(df))
                 except Exception:
                     pass  # lint must never fail the timing run
             df.write.format("noop").mode("overwrite").save()
@@ -120,6 +140,34 @@ def _run_with_watchdog(spark, fn, sf_dir: str, timeout_s: float, lint: list | No
         )
     if err:
         raise err[0]
+
+
+def _failed_tasks_for_group(spark, job_group: str) -> int:
+    """Failed-task count across every job the group ran — the
+    pass-on-retry detector (VERDICT r8 item 2): under local[N,4] a task
+    that needed attempt 2+ is invisible in wall time alone; this surfaces
+    it in the artifact so the gate becomes "0 or explained". Reads the
+    PUBLIC status tracker (stage infos retain cumulative numFailedTasks
+    per stage); stages evicted from the store (retainedStages overflow)
+    are skipped — within one query's group that doesn't happen."""
+    try:
+        st = spark.sparkContext.statusTracker()
+        seen: set[int] = set()
+        total = 0
+        for jid in st.getJobIdsForGroup(job_group) or []:
+            jinfo = st.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in jinfo.stageIds:
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                sinfo = st.getStageInfo(sid)
+                if sinfo is not None:
+                    total += sinfo.numFailedTasks
+        return total
+    except Exception:
+        return -1  # tracker unavailable (dead context) — marked, not hidden
 
 
 def _fresh_session(spark=None):
@@ -162,6 +210,24 @@ def _fresh_session(spark=None):
         spark = get_spark("scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def _task_attempts(spark) -> int:
+    """Task-attempt count from the LIVE session's master string (ADVICE
+    r8: re-reading the env at report time misrecords when get_spark was
+    called with an explicit master or the env changed mid-run, and a
+    malformed env value raised uncaught). local[N,M] → M; bare local[N] →
+    1 (local-mode fail-fast default); non-local → spark.task.maxFailures
+    (cluster default 4)."""
+    try:
+        master = spark.sparkContext.master
+        if master.startswith("local["):
+            inner = master[len("local[") : master.index("]")]
+            parts = [p.strip() for p in inner.split(",")]
+            return int(parts[1]) if len(parts) > 1 else 1
+        return int(spark.conf.get("spark.task.maxFailures", "4"))
+    except Exception:
+        return -1  # unknown — recorded, not guessed
 
 
 def main() -> None:
@@ -208,10 +274,14 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     lint_hits: dict[str, list[str]] = {}
-    try:  # same justified whitelist as the pytest lint
+    bcast_hits: dict[str, list[str]] = {}
+    failed_tasks: dict[str, int] = {}
+    try:  # same justified whitelists as the pytest lints
+        from tests.test_plan_shapes import _FORCED_BROADCAST_WHITELIST as _bwl
         from tests.test_plan_shapes import _GLOBAL_WINDOW_WHITELIST as _wl
     except Exception:
         _wl = set()
+        _bwl = set()
 
     for i, name in enumerate(sorted(qs)):
         if recycle_every and i and i % recycle_every == 0:
@@ -248,12 +318,20 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-            lint: list[str] = []
+            lint: dict[str, list[str]] = {"window": [], "broadcast": []}
+            group = f"audit:{name}"
             t0 = time.perf_counter()
-            _run_with_watchdog(spark, qs[name], sf_dir, WATCHDOG_SEC, lint=lint)
+            _run_with_watchdog(
+                spark, qs[name], sf_dir, WATCHDOG_SEC, lint=lint, job_group=group
+            )
             times[name] = round(time.perf_counter() - t0, 2)
-            if lint and name not in _wl:
-                lint_hits[name] = [s[:160] for s in lint]
+            if lint["window"] and name not in _wl:
+                lint_hits[name] = [s[:160] for s in lint["window"]]
+            if lint["broadcast"] and name not in _bwl:
+                bcast_hits[name] = [s[:160] for s in lint["broadcast"]]
+            nf = _failed_tasks_for_group(spark, group)
+            if nf:  # only non-clean entries (0 == clean pass, omitted)
+                failed_tasks[name] = nf
             print(f"    {name} {times[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep sweeping; report at the end
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
@@ -285,7 +363,7 @@ def main() -> None:
             "recycle_every": recycle_every,
             "watchdog_sec": WATCHDOG_SEC,
             "per_query_gc": True,
-            "task_attempts": int(os.environ.get("SPARK_GRAFT_TASK_ATTEMPTS", "4")),
+            "task_attempts": _task_attempts(spark),
         },
         "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
         "times": ordered,
@@ -294,6 +372,15 @@ def main() -> None:
         # (size-gated queries pick different physical plans here than at
         # the pytest lint's sf0.01) — non-empty = a scale-killer shipped
         "global_window_lint": lint_hits,
+        # broadcast hints over unaggregated corpus scans in the AT-SCALE
+        # plan (the q18 OOM class): gated_broadcast sites must have
+        # declined themselves here — non-empty = an ungated pin shipped
+        "broadcast_hint_lint": bcast_hits,
+        # per-query failed/retried task counts (pass-on-retry detector
+        # under local[N,4]); only non-zero entries appear — gate is
+        # "empty, or each entry explained in the round notes". -1 =
+        # status tracker unreadable for that query (dead context).
+        "failed_tasks": failed_tasks,
     }
     if baseline_times:
         ratios = {

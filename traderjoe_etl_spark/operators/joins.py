@@ -29,6 +29,47 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
     return fact.join(F.broadcast(dim), on, how)
 
 
+# Cap on the ESTIMATED on-disk-equivalent bytes a gated broadcast may pin.
+# Matches the session's local autoBroadcastJoinThreshold rationale: one
+# in-process hash relation; the in-memory build is a few x larger than the
+# compressed estimate, so 64 MB estimate ~ a few hundred MB relation in an
+# 8 GB heap. On a cluster, UNHINTED joins stay governed by the (default
+# 10 MB) threshold — this cap only bounds how long an explicit pin holds.
+GATED_BROADCAST_CAP = 64 * 1024 * 1024
+
+
+def gated_broadcast(df: DataFrame, sf_dir: str, table: str, factor: float = 1.0,
+                    cap_bytes: int = GATED_BROADCAST_CAP) -> DataFrame:
+    """Broadcast hint that DECLINES itself when the relation scales past a
+    byte cap — the sanctioned form for pinning a CORPUS-SCALED build side
+    (the q18 lesson, VERDICT r8: an unconditional ``F.broadcast`` over a
+    relation that grows with the data OOMs at scale; a hint must never
+    outlive the stats that justified it).
+
+    ``table_bytes(sf_dir, table) * factor`` estimates the build side's
+    on-disk-equivalent size — the CBO-role stat the static planner lacks
+    for join OUTPUTS (without CBO, Catalyst estimates a join's size as the
+    PRODUCT of its inputs, so a small selective map like "one year of
+    orders keyed to nation" never statically broadcasts without a hint).
+    ``factor`` encodes the caller's selectivity x projected-column
+    fraction; it needs only order-of-magnitude accuracy against a cap with
+    ~10x headroom. Below the cap: ``F.broadcast(df)`` (the measured
+    bench/audit-scale win). At or above — or when ``table_bytes`` is
+    unknown (0) — returns ``df`` unhinted: the plan degrades to the
+    shuffle join + AQE runtime stats, never a failure.
+
+    Every call site needs a whitelist entry (with the factor's derivation)
+    in tests/test_plan_shapes.py::_FORCED_BROADCAST_WHITELIST — the
+    registry-wide lint (plans/audit.forced_broadcast_violations) flags the
+    hint at small SF where the gate passes."""
+    from ..sources.tables import table_bytes
+
+    est = table_bytes(sf_dir, table) * factor
+    if 0 < est < cap_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

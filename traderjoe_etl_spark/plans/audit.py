@@ -91,6 +91,120 @@ def global_window_violations(df: DataFrame) -> list[str]:
     return bad
 
 
+# Raw column names of the CORPUS-SCALED testdata tables (FIXTURES.md §B) —
+# everything that grows with the data: customer / supplier / part / orders /
+# lineitem / events / documents / embeddings. region and nation are the only
+# fixed-cardinality dims. Leaf scans in the optimized plan emit these raw
+# names (renames happen in Projects ABOVE the leaf), so attribute-set
+# intersection identifies which table a scan reads without path plumbing.
+_CORPUS_SCAN_COLS = frozenset(
+    "c_custkey c_name c_nationkey c_acctbal c_mktsegment "
+    "s_suppkey s_name s_nationkey s_acctbal "
+    "p_partkey p_name p_brand p_type p_size p_retailprice "
+    "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority "
+    "l_orderkey l_partkey l_suppkey l_linenumber l_quantity l_extendedprice "
+    "l_discount l_tax l_returnflag l_linestatus l_shipdate "
+    "event_id ts user_id event_type value props "
+    "doc_id text lang source n_chars "
+    "vec_id embedding label".split()
+)
+
+# Nodes that REDUCE their input by construction: a broadcast hint above one
+# of these wraps an aggregate / top-k cut, not the raw corpus. (Caveat: an
+# Aggregate grouped on a near-unique corpus key still scales with the data —
+# that residual class is caught by the at-scale audit's memory behavior, not
+# this lint; every such site in the registry pre-aggregates to a vocab- or
+# dim-sized relation.)
+_REDUCING_NODES = frozenset({"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"})
+
+
+def forced_broadcast_violations(df: DataFrame) -> list[str]:
+    """Broadcast HINTS whose build side is an unaggregated scan of a
+    corpus-scaled table — the q18 class (VERDICT r8): ``F.broadcast(dim)``
+    is correct-looking at bench scale (15k customers) and fatal at scale
+    (15M+ customers: "Not enough memory to build and broadcast"). A hint
+    overrides the engine's stats unconditionally, so it must never wrap a
+    relation that grows with the corpus unless something between the hint
+    and the scan bounds it (Aggregate / Limit / Deduplicate).
+
+    The sanctioned patterns for corpus-scaled dims are (a) no hint — the
+    planner's size estimate + AQE runtime stats decide (the q18 fix), or
+    (b) ``operators.joins.gated_broadcast`` — the hint applies only while
+    a ``table_bytes``-based size estimate stays under a cap (CBO-role
+    stat), so the same query declines it at scale. Gated sites still show
+    the hint at small SF and need a justified whitelist entry in
+    tests/test_plan_shapes.py.
+
+    Walks the OPTIMIZED logical plan: ``F.broadcast`` / ``hint("broadcast")``
+    land in ``Join.hint`` (EliminateResolvedHint). ``LogicalRDD`` leaves
+    (checkpoint boundaries) expose no table identity and are not flagged —
+    every checkpointed broadcast side in the registry is an aggregate.
+    Returns one entry per offending hinted side (empty == clean)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+
+    def kids(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def corpus_scans(n) -> list[str]:
+        """Corpus-table leaves reachable WITHOUT crossing a reducing node."""
+        if n.getClass().getSimpleName() in _REDUCING_NODES:
+            return []
+        cs = kids(n)
+        if not cs:
+            try:
+                out = n.output()
+                attrs = {out.apply(i).name() for i in range(out.size())}
+            except Exception:
+                return []
+            hit = sorted(attrs & _CORPUS_SCAN_COLS)
+            if hit:
+                return [f"{n.getClass().getSimpleName()}({','.join(hit[:4])})"]
+            return []
+        found: list[str] = []
+        for c in cs:
+            found.extend(corpus_scans(c))
+        return found
+
+    def is_broadcast(opt) -> bool:
+        """Option[HintInfo] → carries a broadcast strategy?"""
+        try:
+            if opt.isDefined():
+                st = opt.get().strategy()
+                return st.isDefined() and "broadcast" in st.get().toString().lower()
+        except Exception:
+            pass
+        return False
+
+    def visit(n) -> None:
+        name = n.getClass().getSimpleName()
+        cs = kids(n)
+        if name == "Join":
+            h = n.hint()
+            for opt, side in ((h.leftHint(), 0), (h.rightHint(), 1)):
+                if is_broadcast(opt):
+                    scans = corpus_scans(cs[side])
+                    if scans:
+                        bad.append("broadcast-hint over " + "|".join(scans))
+        elif name == "ResolvedHint":
+            # defensive: a hint the optimizer has not (yet) folded into a Join
+            try:
+                st = n.hints().strategy()
+                hinted = st.isDefined() and "broadcast" in st.get().toString().lower()
+            except Exception:
+                hinted = False
+            if hinted:
+                scans = corpus_scans(cs[0])
+                if scans:
+                    bad.append("broadcast-hint over " + "|".join(scans))
+        for c in cs:
+            visit(c)
+
+    visit(plan)
+    return bad
+
+
 def plan_facts(df: DataFrame) -> PlanFacts:
     # formatted mode: stable node list with PushedFilters/ReadSchema and
     # [codegen id : N] annotations even under the AQE (pre-final) root.

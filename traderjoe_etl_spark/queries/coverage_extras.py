@@ -362,14 +362,16 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (the validate step every ingestion pipeline runs
     before publishing a batch): null checks, domain check, key
     uniqueness, and referential integrity against the customer dim — ONE
-    aggregate over one broadcast-joined pass, so the gate costs a single
-    scan at any scale. Returns a one-row summary with per-constraint
+    aggregate over one join pass, so the gate costs a single
+    scan plus the key join at any scale. Returns a one-row summary with per-constraint
     violation counts and an overall verdict."""
     orders = _t(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer").select("c_custkey")
-    j = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
-    )
+    # customer is unhinted (q18 rule: it scales with the corpus, so a
+    # broadcast pin is a scale bug) — the planner's estimate for the
+    # single-column projection broadcasts it while small; past the
+    # threshold the gate degrades to a shuffled referential check.
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
     null_ck = F.count_if(F.col("o_custkey").isNull())
     nonpos = F.count_if(F.col("o_totalprice") <= 0)
     dup = F.count(F.lit(1)) - F.count_distinct("o_orderkey")

@@ -317,7 +317,7 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8 GB driver into a SparkContext-killing stage failure — edges are
     read once per round sequentially, so heap caching buys nothing a
     local disk read doesn't."""
-    from ..sources.tables import table_bytes
+    from ..sources.tables import corpus_width
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -334,7 +334,11 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-exchange in bounded tasks; at or below the session default
     # width the repartition IS the distinct's own exchange and small
     # corpora pay nothing.
-    edge_parts = max(32, min(1024, table_bytes(sf_dir, "lineitem") // (2 << 20)))
+    # selectivity 1/7: the edge input is the ONE-YEAR filtered join (~1/7
+    # of lineitem rows by date range), not the full table — sizing from
+    # full bytes overestimated width ~7x (ADVICE r8; harmless only while
+    # the [32,1024] clamps dominate).
+    edge_parts = corpus_width(sf_dir, "lineitem", selectivity=1 / 7)
     edges = (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))

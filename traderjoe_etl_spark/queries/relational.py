@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.fixedpoint import fixed_sum_aggs, fixed_sum_sql, fixed_sum_value, fixed_sum_value_sql
-from ..operators.joins import broadcast_dim_join
+from ..operators.joins import broadcast_dim_join, gated_broadcast
 from ..operators.topk import top_k, top_k_per_group
 from ..operators.windows import moving_agg, sessionize, snapshot_delta
 from ..session import apply_runtime_confs
@@ -269,16 +269,18 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probing later, but measured 9.1 → 3.7 s at sf10 (the post-join probe
     # shape kept the custkey column live through the join stage and its
     # whole-stage-codegen pipeline; the pre-projected map keeps the join
-    # input at exactly key+region). At a scale where the projection
-    # outgrows broadcast (~100M+ customers), drop the hint and this
-    # degrades to the plain shuffle join, not a failure.
+    # input at exactly key+region). The hint is SIZE-GATED (gated_broadcast,
+    # factor = the 2-of-5-column projection): customer scales with the
+    # corpus, so past the byte cap the hint drops away and this degrades to
+    # the plain shuffle join + AQE, not a failure (the q18 rule).
     enr = broadcast_dim_join(
         broadcast_dim_join(cust, nation, cust.c_nationkey == nation.n_nationkey),
         region,
         F.col("n_regionkey") == region.r_regionkey,
     ).select("c_custkey", "r_name")
     order_region = orders.join(
-        F.broadcast(enr), orders.o_custkey == F.col("c_custkey")
+        gated_broadcast(enr, sf_dir, "customer", 2 / 5),
+        orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "r_name")
     # Stats-adaptive physical strategy (what a CBO does from table stats):
     # when the whole orderkey→region map fits a broadcast (orders parquet

@@ -778,7 +778,7 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents keeps each concurrent sort bounded. At or below the
     # session default the repartition IS the join's required exchange
     # (same key), so small corpora pay nothing extra.
-    from ..sources.tables import table_bytes
+    from ..sources.tables import corpus_width, table_bytes
 
     doc_bytes = table_bytes(sf_dir, "documents")
     # SIZE-GATED physical strategy: the sort-merge pins and explicit
@@ -786,7 +786,7 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conservative default); at bench scale AQE's broadcast plan is
     # correct and ~1.5 s cheaper in pure scheduling.
     at_scale = doc_bytes == 0 or doc_bytes > _SPARSE_PIN_BYTES
-    join_parts = max(32, min(1024, doc_bytes // (1 << 20)))
+    join_parts = corpus_width(sf_dir, "documents", bytes_per_part=1 << 20)
 
     def _pin(side: DataFrame) -> DataFrame:
         return side.hint("merge") if at_scale else side

@@ -126,7 +126,7 @@ def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-partition on the exact key' — applied to a relational shape). At or
     below the session default width the repartition IS the distinct's own
     exchange, so small corpora pay nothing."""
-    from ..sources.tables import table_bytes
+    from ..sources.tables import corpus_width
 
     _views(spark, sf_dir, "lineitem", "part", "supplier")
     filtered = spark.sql(
@@ -137,7 +137,7 @@ def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         """
     )
-    w = max(32, min(1024, table_bytes(sf_dir, "lineitem") // (2 << 20)))
+    w = corpus_width(sf_dir, "lineitem")
     pairs = filtered.repartition(
         w, "p_brand", "p_type", "p_size", "l_suppkey"
     ).dropDuplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
@@ -173,7 +173,8 @@ def correlated_avg_small_orders_q17(spark: SparkSession, sf_dir: str) -> DataFra
     part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is unhinted (q18 rule: corpus-scaled — planner stats decide)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(per_part.withColumnRenamed("l_partkey", "pp_partkey")),
               F.col("l_partkey") == F.col("pp_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
@@ -295,7 +296,7 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
     supp = read_table(spark, sf_dir, "supplier")
     return (
         lvl2.filter((F.col("r_lines") > 0) & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -403,7 +404,7 @@ def top_revenue_suppliers_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("rev_dec") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -517,7 +518,8 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is unhinted (q18 rule: corpus-scaled — planner stats decide)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             *fixed_sum_aggs("promo", promo, 4),
             *fixed_sum_aggs("total", "l_extendedprice * (1 - l_discount)", 4),
@@ -560,7 +562,8 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is unhinted (q18 rule: corpus-scaled — planner stats decide)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(*fixed_sum_aggs("revenue", "l_extendedprice * (1 - l_discount)", 4))
         .select(fixed_sum_value("revenue", 4))

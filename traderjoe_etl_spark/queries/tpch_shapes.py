@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.joins import gated_broadcast
 from ..session import apply_runtime_confs
 from ..sources.tables import read_table
 from . import query
@@ -162,20 +163,28 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     # Reduce the DATE-FILTERED orders to an (o_orderkey, c_nationkey) map
-    # via the broadcast customer projection, then broadcast THAT against
-    # the fact scan — one selective year of orders post-projection is
+    # via the customer projection, then broadcast THAT against the fact
+    # scan — one selective year of orders post-projection is
     # broadcast-sized, so lineitem never shuffles (measured sf10:
-    # 14.3 → 2.9 s). At a scale where the filtered map outgrows
-    # broadcast, drop the hint and this degrades to the plain
-    # orderkey-shuffle join — same semantics, never a failure.
+    # 14.3 → 2.9 s). Both hints are SIZE-GATED (gated_broadcast — the q18
+    # rule: customer and orders scale WITH the corpus, so an unconditional
+    # pin is a scale bug): past the byte cap the hints drop away and this
+    # degrades to the plain orderkey-shuffle join + AQE — same semantics,
+    # never a failure. Factors = projected-column fraction (2 of 5 / 2 of
+    # 6 columns) x the map's 1-of-6-years date selectivity.
     order_nation = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        gated_broadcast(cust.select("c_custkey", "c_nationkey"), sf_dir, "customer", 2 / 5),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_nationkey")
     return (
-        li.join(F.broadcast(order_nation), li.l_orderkey == F.col("o_orderkey"))
+        li.join(
+            gated_broadcast(order_nation, sf_dir, "orders", (1 / 6) * (1 / 3)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .join(
-            F.broadcast(supp),
+            # supplier is unhinted: the static planner's file-size estimate
+            # broadcasts it while genuinely small and declines at scale
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -264,20 +273,29 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customers of those nations broadcast against orders, and the
     # resulting (o_orderkey, cust_nation) map — ~8% of orders — is
     # itself broadcast-sized, so the 60M-row lineitem side never
-    # shuffles (measured sf10: 9.0 → 2.9 s). With an unselective nation
-    # set this degrades to the plain orderkey-shuffle join.
+    # shuffles (measured sf10: 9.0 → 2.9 s). Both corpus-fed hints are
+    # SIZE-GATED (gated_broadcast): factors = the 2-of-25-nation
+    # selectivity x projected-column fraction, so the selective cohort
+    # stays pinned far past the point the FULL dim stopped being a
+    # broadcast dim, and past the cap this degrades to the plain
+    # orderkey-shuffle join + AQE.
     cust2 = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).filter(
         F.col("cust_nation").isin("NATION_3", "NATION_7")
     )
     order_nation = orders.join(
-        F.broadcast(cust2.select("c_custkey", "cust_nation")),
+        gated_broadcast(
+            cust2.select("c_custkey", "cust_nation"), sf_dir, "customer", (2 / 25) * (2 / 5)
+        ),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "cust_nation")
     return (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
-        .join(F.broadcast(order_nation), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            gated_broadcast(order_nation, sf_dir, "orders", (2 / 25) * (1 / 3)),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .filter(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -334,8 +352,11 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
     zero = F.lit(0).cast("decimal(30,6)")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        # part/supplier are UNHINTED (q18 rule: they scale with the corpus;
+        # the planner's file-size estimate broadcasts them while small and
+        # declines at scale — a pin would never decline)
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -384,8 +405,9 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") / 100
     ).cast("decimal(30,6)")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        # part/supplier unhinted — planner stats decide (q18 rule)
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
