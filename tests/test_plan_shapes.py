@@ -455,6 +455,17 @@ def test_forced_broadcast_lint_unit(spark):
         orders.crossJoin(F.broadcast(nation.limit(1).drop("n_name")))
     )
 
+    # literal LocalRelation reusing GENERIC corpus column names (value,
+    # event_type) — fixed-size by construction, must NOT flag even though
+    # the names intersect _CORPUS_SCAN_COLS (only storage-backed scan
+    # leaves count)
+    lookup = spark.createDataFrame(
+        [("view", 0.5), ("click", 2.0)], "event_type string, value double"
+    )
+    assert not forced_broadcast_violations(
+        orders.crossJoin(F.broadcast(lookup))
+    )
+
     # gated_broadcast: hint under the cap (flags, whitelist territory)...
     hinted = orders.join(
         gated_broadcast(li.select("l_orderkey"), sf, "lineitem", factor=1.0),

@@ -18,6 +18,13 @@ from tools.scale_audit import _failed_tasks_for_group, _run_with_watchdog, _task
 def test_failed_tasks_detects_pass_on_retry(spark):
     """A task that fails on attempt 0 and passes on attempt 1 (the
     invisible class) must be counted for its job group."""
+    import pytest
+
+    if _task_attempts(spark) < 2:
+        # SPARK_GRAFT_TASK_ATTEMPTS=1 (or bare local[N]) makes the
+        # deliberate attempt-0 failure fatal — the scenario under test
+        # cannot exist without retries
+        pytest.skip("task retries disabled on this session's master")
 
     def flaky(spark_, _sf_dir):
         from pyspark import TaskContext
@@ -47,10 +54,15 @@ def test_failed_tasks_detects_pass_on_retry(spark):
 
 def test_task_attempts_from_live_master(spark):
     """Protocol recording reads the LIVE master string (ADVICE r8), not
-    the env: local[N,M] → M, bare local[N] → 1."""
+    the env: local[N,M] → M; bare local[N] / 'local' → 1; any other
+    master (local-cluster, spark://) → spark.task.maxFailures."""
     got = _task_attempts(spark)
     master = spark.sparkContext.master
-    if "," in master:
-        assert got == int(master[master.index(",") + 1 : master.index("]")])
-    else:
+    if master == "local":
         assert got == 1
+    elif master.startswith("local["):
+        inner = master[len("local[") : master.index("]")]
+        parts = [p.strip() for p in inner.split(",")]
+        assert got == (int(parts[1]) if len(parts) > 1 else 1)
+    else:
+        assert got == int(spark.conf.get("spark.task.maxFailures", "4"))

@@ -216,11 +216,14 @@ def _task_attempts(spark) -> int:
     """Task-attempt count from the LIVE session's master string (ADVICE
     r8: re-reading the env at report time misrecords when get_spark was
     called with an explicit master or the env changed mid-run, and a
-    malformed env value raised uncaught). local[N,M] → M; bare local[N] →
-    1 (local-mode fail-fast default); non-local → spark.task.maxFailures
-    (cluster default 4)."""
+    malformed env value raised uncaught). local[N,M] → M; bare local[N]
+    or bracket-less 'local' → 1 (local-mode fail-fast default);
+    non-local (incl. local-cluster) → spark.task.maxFailures (cluster
+    default 4)."""
     try:
         master = spark.sparkContext.master
+        if master == "local":
+            return 1  # bracket-less local mode also pins maxFailures=1
         if master.startswith("local["):
             inner = master[len("local[") : master.index("]")]
             parts = [p.strip() for p in inner.split(",")]
@@ -275,6 +278,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     lint_hits: dict[str, list[str]] = {}
     bcast_hits: dict[str, list[str]] = {}
+    bcast_wl_hits: dict[str, list[str]] = {}
     failed_tasks: dict[str, int] = {}
     try:  # same justified whitelists as the pytest lints
         from tests.test_plan_shapes import _FORCED_BROADCAST_WHITELIST as _bwl
@@ -327,8 +331,15 @@ def main() -> None:
             times[name] = round(time.perf_counter() - t0, 2)
             if lint["window"] and name not in _wl:
                 lint_hits[name] = [s[:160] for s in lint["window"]]
-            if lint["broadcast"] and name not in _bwl:
-                bcast_hits[name] = [s[:160] for s in lint["broadcast"]]
+            if lint["broadcast"]:
+                # whitelisted entries are NOT suppressed — their whitelist
+                # justification is a scale-DEPENDENT decline claim (the
+                # gated hint must be GONE once its byte estimate crosses
+                # the cap), so a hint still present at audit scale must be
+                # visible in the artifact to be checked against the
+                # expected decline point, not silently dropped.
+                dest = bcast_wl_hits if name in _bwl else bcast_hits
+                dest[name] = [s[:160] for s in lint["broadcast"]]
             nf = _failed_tasks_for_group(spark, group)
             if nf:  # only non-clean entries (0 == clean pass, omitted)
                 failed_tasks[name] = nf
@@ -376,6 +387,12 @@ def main() -> None:
         # plan (the q18 OOM class): gated_broadcast sites must have
         # declined themselves here — non-empty = an ungated pin shipped
         "broadcast_hint_lint": bcast_hits,
+        # whitelisted (gated) hints STILL PRESENT at this sf_dir — each
+        # must match its documented decline point (e.g. q5's gates decline
+        # at sf100; q7's selective cohort legitimately holds to ~sf120).
+        # A whitelisted query appearing here at a scale where its note
+        # says "declined" is a failure-to-decline regression.
+        "broadcast_hint_whitelisted": bcast_wl_hits,
         # per-query failed/retried task counts (pass-on-retry detector
         # under local[N,4]); only non-zero entries appear — gate is
         # "empty, or each entry explained in the round notes". -1 =

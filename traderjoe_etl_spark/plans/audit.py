@@ -117,6 +117,15 @@ _CORPUS_SCAN_COLS = frozenset(
 # dim-sized relation.)
 _REDUCING_NODES = frozenset({"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"})
 
+# Leaf classes that read STORAGE (grow with the data): file scans, catalog /
+# v2 tables (the bucketed spark-warehouse reads). LocalRelation / Range /
+# OneRowRelation / LogicalRDD leaves are excluded — literals are fixed-size,
+# and checkpoint boundaries expose no table identity (every checkpointed
+# broadcast side in the registry is an aggregate).
+_SCAN_LEAF_NODES = frozenset(
+    {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation", "StreamingRelation"}
+)
+
 
 def forced_broadcast_violations(df: DataFrame) -> list[str]:
     """Broadcast HINTS whose build side is an unaggregated scan of a
@@ -148,11 +157,18 @@ def forced_broadcast_violations(df: DataFrame) -> list[str]:
         return [s.apply(i) for i in range(s.size())]
 
     def corpus_scans(n) -> list[str]:
-        """Corpus-table leaves reachable WITHOUT crossing a reducing node."""
-        if n.getClass().getSimpleName() in _REDUCING_NODES:
+        """Corpus-table leaves reachable WITHOUT crossing a reducing node.
+        Only STORAGE-backed scan classes count: a LocalRelation / Range /
+        OneRowRelation literal whose columns happen to reuse a generic
+        corpus name (value, ts, label, ...) is fixed-size by construction
+        and must not force a bogus whitelist entry."""
+        cls = n.getClass().getSimpleName()
+        if cls in _REDUCING_NODES:
             return []
         cs = kids(n)
         if not cs:
+            if cls not in _SCAN_LEAF_NODES:
+                return []
             try:
                 out = n.output()
                 attrs = {out.apply(i).name() for i in range(out.size())}
@@ -160,7 +176,7 @@ def forced_broadcast_violations(df: DataFrame) -> list[str]:
                 return []
             hit = sorted(attrs & _CORPUS_SCAN_COLS)
             if hit:
-                return [f"{n.getClass().getSimpleName()}({','.join(hit[:4])})"]
+                return [f"{cls}({','.join(hit[:4])})"]
             return []
         found: list[str] = []
         for c in cs:

@@ -267,9 +267,19 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
     with an 'R' line (NOT EXISTS). One pass, no self-join, no broadcast of
     anything fact-sized:
 
-    1. level-1 aggregate to (orderkey, suppkey, r_lines) — a map-side-
-       combined shuffle that also collapses the per-(order, supplier) line
-       multiplicity the correlated predicates don't care about;
+    1. level-1 aggregate to (orderkey, suppkey, r_lines), run REDUCE-SIDE
+       behind an explicit orderkey repartition at corpus-scaled width (the
+       Q16/pagerank pattern, 4th consumer): (orderkey, suppkey) barely
+       deduplicates (~1.3 lines per pair), so a map-side partial agg grows
+       a near-input-share hash map in EVERY concurrent scan task — at
+       sf100 (600M rows) that stack of concurrent partial maps plus the
+       downstream 32-partition window sort heap-OOM'd the r9 sweep
+       (passed r8 at 105 s — it was marginal, not safe). Partitioning by
+       orderkey ALONE satisfies the pair-key clustering (same order ⇒
+       same partition ⇒ same pair co-located), so ONE exchange serves the
+       aggregate AND step 2's window, and both now run in
+       corpus_width-bounded tasks; at or below the session default width
+       the repartition IS the aggregate's own exchange;
     2. per-order supplier counts (n_supp, n_r_supp) as WINDOW aggregates
        over the level-1 rows — reuses the orderkey partitioning, no second
        fact shuffle and no Expand (an earlier form used two countDistinct
@@ -282,9 +292,15 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
        broadcast for names."""
     from pyspark.sql import Window
 
+    from ..sources.tables import corpus_width
+
     li = _t(spark, sf_dir, "lineitem")
-    lvl1 = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+    lvl1 = (
+        li.repartition(corpus_width(sf_dir, "lineitem"), "l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+        )
     )
     w = Window.partitionBy("l_orderkey")
     lvl2 = lvl1.select(
