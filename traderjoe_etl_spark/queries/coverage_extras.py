@@ -365,13 +365,25 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over one join pass, so the gate costs a single
     scan plus the key join at any scale. Returns a one-row summary with per-constraint
     violation counts and an overall verdict."""
+    from ..sources.tables import corpus_width
+
     orders = _t(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer").select("c_custkey")
     # customer is unhinted (q18 rule: it scales with the corpus, so a
     # broadcast pin is a scale bug) — the planner's estimate for the
     # single-column projection broadcasts it while small; past the
     # threshold the gate degrades to a shuffled referential check.
-    j = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+    # The o_orderkey repartition is the q16/q21 pattern (5th consumer):
+    # count_distinct(o_orderkey) phase-1 groups by a 1:1 key, so its
+    # map-side partial would build a near-input-sized hash map in every
+    # scan task while deduplicating NOTHING; the exchange carries
+    # ~|orders| rows either way, so pre-partitioning moves the maps into
+    # corpus_width-bounded tasks at identical shuffle cost. At or below
+    # the session default width the repartition IS the distinct phase's
+    # own exchange.
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey, "left").repartition(
+        corpus_width(sf_dir, "orders"), "o_orderkey"
+    )
     null_ck = F.count_if(F.col("o_custkey").isNull())
     nonpos = F.count_if(F.col("o_totalprice") <= 0)
     dup = F.count(F.lit(1)) - F.count_distinct("o_orderkey")
