@@ -404,7 +404,7 @@ def test_no_unbounded_global_windows_registry_wide(spark, qs):
 # operators.joins.gated_broadcast — a table_bytes-gated pin that DECLINES
 # itself past a byte cap, so the hint the lint sees at small SF is gone at
 # corpus scale (test_gated_broadcasts_decline_at_scale pins the decline
-# against the 160 GB benchdata/sf100 plans). Each entry's factor derivation
+# against the 160 GB benchdata/sf100 plans). Each entry's selectivity derivation
 # lives at its call site.
 _FORCED_BROADCAST_WHITELIST = {
     # order_nation map (1-of-6-years x 2-of-6-cols of orders) + the 2-of-5-col
@@ -468,13 +468,13 @@ def test_forced_broadcast_lint_unit(spark):
 
     # gated_broadcast: hint under the cap (flags, whitelist territory)...
     hinted = orders.join(
-        gated_broadcast(li.select("l_orderkey"), sf, "lineitem", factor=1.0),
+        gated_broadcast(li.select("l_orderkey"), sf, "lineitem"),
         orders.o_orderkey == F.col("l_orderkey"),
     )
     assert forced_broadcast_violations(hinted)
     # ...and DECLINED past the cap (cap_bytes=1 forces the at-scale branch)
     declined = orders.join(
-        gated_broadcast(li.select("l_orderkey"), sf, "lineitem", factor=1.0, cap_bytes=1),
+        gated_broadcast(li.select("l_orderkey"), sf, "lineitem", cap_bytes=1),
         orders.o_orderkey == F.col("l_orderkey"),
     )
     assert not forced_broadcast_violations(declined)
@@ -529,3 +529,181 @@ def test_gated_broadcasts_decline_at_scale(spark, qs):
     q7_small = forced_broadcast_violations(qs["volume_shipping_q7"](spark, SF))
     q7_big = forced_broadcast_violations(qs["volume_shipping_q7"](spark, sf100))
     assert set(q7_big) <= set(q7_small)
+
+
+# ---------------------------------------------------------------------------
+# Partial-agg hazard diagnostic + hinted-aggregate warn lint (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_partial_agg_hazards_unit(spark):
+    """The r7–r9 heap-OOM family's detector (q16 distinct / pagerank
+    dropDuplicates / q21 agg+window / constraint_check count_distinct):
+    a map-side aggregate grouping on a near-unique corpus key flags; the
+    corpus_width-repartition fix clears it; a low-cardinality grouping
+    never flags."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.plans.audit import partial_agg_hazards
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    li = read_table(spark, SF, "lineitem")
+
+    # the q21 pre-fix shape: barely-deduplicating pair key, map-side
+    bad = partial_agg_hazards(
+        li.groupBy("l_orderkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert bad and "l_orderkey" in bad[0], f"pair-key map-side agg must flag: {bad}"
+
+    # the established fix: exact-key repartition puts an Exchange below — clean
+    fixed = partial_agg_hazards(
+        li.repartition(32, "l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert fixed == []
+
+    # low-cardinality grouping (the normal map-side combine) — never a hit
+    ok = partial_agg_hazards(
+        li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    )
+    assert ok == []
+
+
+def test_partial_agg_sweep_registry_adjudicated(spark, qs):
+    """Every map-side near-unique-key partial agg in the registry (at the
+    oracle SF) must carry an adjudication entry in
+    tools/partial_agg_sweep.ADJUDICATIONS — the committed form of the r9
+    22-hit assessment, so the next q21-class hazard is caught at pytest
+    time instead of by an sf100 OOM. (A DIAGNOSTIC, not a lint: dedup
+    ratio is data-dependent and map-side combine is the designed win for
+    doc_id-over-exploded-token groups — the adjudication is the point.)"""
+    from tools.partial_agg_sweep import ADJUDICATIONS
+
+    from traderjoe_etl_spark.plans.audit import partial_agg_hazards
+
+    unadjudicated: dict[str, list[str]] = {}
+    for name, fn in sorted(qs.items()):
+        hz = partial_agg_hazards(fn(spark, SF))
+        if hz and name not in ADJUDICATIONS:
+            unadjudicated[name] = hz
+    assert not unadjudicated, (
+        "map-side partial aggs on near-unique corpus keys without an "
+        "adjudication entry (add to tools/partial_agg_sweep.ADJUDICATIONS "
+        "with a dedup-ratio / fallback-bound / size-gate argument, or fix "
+        "with the corpus_width repartition):\n"
+        + "\n".join(f"{k}: {v[0][:160]}" for k, v in sorted(unadjudicated.items()))
+    )
+
+
+def test_hinted_aggregate_warn_unit(spark):
+    """ADVICE r9: the broadcast lint treats any Aggregate as reducing, so
+    a hint over an aggregate grouped on a near-unique corpus key (the q21
+    hazard class) is lint-clean yet scales with the corpus. The warn-level
+    companion must surface exactly that shape — and stay quiet for
+    vocab-keyed aggregates and unhinted joins."""
+    from pyspark.sql import functions as F
+
+    from traderjoe_etl_spark.plans.audit import (
+        forced_broadcast_violations,
+        hinted_aggregate_warnings,
+    )
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+
+    per_order = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    hinted = orders.join(
+        F.broadcast(per_order), orders.o_orderkey == per_order.l_orderkey
+    )
+    # lint-clean (Aggregate reduces) ...
+    assert forced_broadcast_violations(hinted) == []
+    # ... but warned (the aggregate's cardinality IS the corpus's)
+    warns = hinted_aggregate_warnings(hinted)
+    assert warns and "l_orderkey" in warns[0], f"near-unique hinted agg must warn: {warns}"
+
+    # vocab-keyed aggregate under the same hint: genuinely reduced — quiet
+    vocab = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert hinted_aggregate_warnings(orders.crossJoin(F.broadcast(vocab))) == []
+
+    # same near-unique aggregate WITHOUT a hint: planner's call — quiet
+    assert hinted_aggregate_warnings(
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+    ) == []
+
+
+def test_hinted_aggregate_warn_registry_wide(spark, qs):
+    """No registry query ships a broadcast hint whose bounding aggregate
+    groups on a near-unique corpus key (warn-level today — if a justified
+    site ever appears, whitelist it HERE with its size-gate note)."""
+    from traderjoe_etl_spark.plans.audit import hinted_aggregate_warnings
+
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        w = hinted_aggregate_warnings(fn(spark, SF))
+        if w:
+            offenders[name] = w
+    assert not offenders, "hinted near-unique-key aggregates:\n" + "\n".join(
+        f"{k}: {v[0][:160]}" for k, v in sorted(offenders.items())
+    )
+
+
+def test_broadcast_lint_sees_subquery_plans(spark):
+    """ADVICE r9 residual: hints inside scalar-subquery plans were
+    unvisited (children()-only traversal). A broadcast hint over a corpus
+    scan planted INSIDE a scalar subquery must now flag."""
+    from traderjoe_etl_spark.plans.audit import forced_broadcast_violations
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    read_table(spark, SF, "orders").createOrReplaceTempView("bl_sub_orders")
+    read_table(spark, SF, "lineitem").createOrReplaceTempView("bl_sub_li")
+    df = spark.sql(
+        """
+        SELECT o_orderkey FROM bl_sub_orders
+        WHERE o_totalprice > (
+            SELECT /*+ BROADCAST(l) */ avg(l_extendedprice)
+            FROM bl_sub_li l JOIN bl_sub_orders o2 ON l.l_orderkey = o2.o_orderkey
+        )
+        """
+    )
+    bad = forced_broadcast_violations(df)
+    assert bad, "hint inside a scalar subquery must be visible to the lint"
+
+
+def test_gated_broadcast_derives_column_fraction(spark):
+    """ADVICE r9: the gate's column fraction is DERIVED from the frame
+    (len(df.columns) / parquet-footer ncols), not hand-maintained — so a
+    widened projection automatically widens the byte estimate. Pinned by
+    choosing a cap between the 2-column and full-width estimates: the
+    narrow projection broadcasts, the full-width frame declines. Row
+    selectivity stays caller-owned and must be a fraction."""
+    import pytest as _pytest
+
+    from traderjoe_etl_spark.operators.joins import gated_broadcast
+    from traderjoe_etl_spark.plans.audit import forced_broadcast_violations
+    from traderjoe_etl_spark.sources.tables import read_table, table_bytes, table_ncols
+
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    ncols = table_ncols(SF, "lineitem")
+    assert ncols == 11  # parquet footer, FIXTURES.md §B
+    # cap between the 2/11 estimate and the full-width estimate
+    cap = int(table_bytes(SF, "lineitem") * (5 / 11))
+
+    narrow = li.select("l_orderkey", "l_quantity")
+    hinted = orders.join(
+        gated_broadcast(narrow, SF, "lineitem", cap_bytes=cap),
+        orders.o_orderkey == narrow.l_orderkey,
+    )
+    assert forced_broadcast_violations(hinted), "2/11-width estimate must pass the gate"
+
+    wide = li  # full width: estimate = table_bytes > cap — gate declines
+    declined = orders.join(
+        gated_broadcast(wide, SF, "lineitem", cap_bytes=cap),
+        orders.o_orderkey == wide.l_orderkey,
+    )
+    assert forced_broadcast_violations(declined) == []
+
+    with _pytest.raises(ValueError):
+        gated_broadcast(narrow, SF, "lineitem", selectivity=1.5)

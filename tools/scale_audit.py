@@ -12,9 +12,14 @@ Usage: python tools/scale_audit.py [sf_dir] [threshold_sec] [name...]
          --baseline=PATH    a prior audit JSON (e.g. AUDIT_r07.json at
                             sf10) to divide against: emits per-query
                             time ratios and auto-flags any query whose
-                            ratio exceeds --ratio-flag (default 15) —
-                            the ntile-class outlier detector.
-         --ratio-flag=X     ratio threshold for the flag list.
+                            ratio exceeds --ratio-flag — the ntile-class
+                            outlier detector.
+         --ratio-flag=X     ratio threshold for the flag list. Default is
+                            SCALE-AWARE: 15 for a cross-scale baseline
+                            (sf10→sf100 growth expected), 3 when the
+                            baseline's sf_dir matches (same-scale round-
+                            over-round — VERDICT r9: the flat 15 passed
+                            2.3–3.8x same-scale slowdowns silently).
 
 Trailing name args restrict the sweep to those queries (targeted
 re-audit after changing a subset).
@@ -99,10 +104,12 @@ def _run_with_watchdog(
                     from traderjoe_etl_spark.plans.audit import (
                         forced_broadcast_violations,
                         global_window_violations,
+                        hinted_aggregate_warnings,
                     )
 
                     lint["window"].extend(global_window_violations(df))
                     lint["broadcast"].extend(forced_broadcast_violations(df))
+                    lint.setdefault("agg_warn", []).extend(hinted_aggregate_warnings(df))
                 except Exception:
                     pass  # lint must never fail the timing run
             df.write.format("noop").mode("overwrite").save()
@@ -115,6 +122,20 @@ def _run_with_watchdog(
                     file=sys.stderr,
                     flush=True,
                 )
+        finally:
+            # Under pinned-thread mode (PYSPARK_PIN_THREAD, default since
+            # Spark 3.2) the group is scoped to this worker's JVM thread; a
+            # LEAKED timed-out worker whose blocked read later unblocks
+            # must not run tagged with a long-dead query's group — and
+            # under legacy NON-pinned mode local properties are shared
+            # across Python threads, where a stale group would cross-
+            # attribute later queries' failed_tasks counts (ADVICE r9).
+            if job_group:
+                try:
+                    spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+                    spark.sparkContext.setLocalProperty("spark.job.description", None)
+                except Exception:
+                    pass
 
     t = threading.Thread(target=work, daemon=True)
     t.start()
@@ -260,12 +281,23 @@ def main() -> None:
     only = set(pos[2:])
     recycle_every = int(flag_vals.get("--recycle", "25"))
     baseline_path = flag_vals.get("--baseline", "")
-    ratio_flag = float(flag_vals.get("--ratio-flag", "15"))
 
     baseline_times: dict[str, float] = {}
+    baseline_meta: dict[str, object] = {}
     if baseline_path:
         with open(baseline_path) as f:
-            baseline_times = json.load(f).get("times", {})
+            bl = json.load(f)
+        baseline_times = bl.get("times", {})
+        baseline_meta = {"sf_dir": bl.get("sf_dir"), "protocol": bl.get("protocol")}
+
+    # Ratio-flag default is SCALE-AWARE (VERDICT r9: the fixed 15 was right
+    # for sf10→sf100 denominators but passed 2.3–3.8× SAME-SCALE round-over-
+    # round slowdowns silently): a baseline at the same sf_dir compares
+    # like-for-like, where anything ≥3× deserves a fresh-vs-fresh pair.
+    same_scale = bool(baseline_meta) and os.path.normpath(
+        str(baseline_meta.get("sf_dir"))
+    ) == os.path.normpath(sf_dir)
+    ratio_flag = float(flag_vals.get("--ratio-flag", "3" if same_scale else "15"))
 
     from traderjoe_etl_spark.queries import queries
 
@@ -279,11 +311,25 @@ def main() -> None:
     lint_hits: dict[str, list[str]] = {}
     bcast_hits: dict[str, list[str]] = {}
     bcast_wl_hits: dict[str, list[str]] = {}
+    agg_warns: dict[str, list[str]] = {}
     failed_tasks: dict[str, int] = {}
+    whitelists_loaded = True
     try:  # same justified whitelists as the pytest lints
         from tests.test_plan_shapes import _FORCED_BROADCAST_WHITELIST as _bwl
         from tests.test_plan_shapes import _GLOBAL_WINDOW_WHITELIST as _wl
-    except Exception:
+    except Exception as exc:
+        # Empty-set fallback would misfile GATED hits into
+        # broadcast_hint_lint — the "ungated pin shipped" failure signal —
+        # so the degradation must be loud and artifact-visible (ADVICE r9):
+        # a non-empty broadcast_hint_lint with whitelists_loaded=false is a
+        # tooling problem, not a regression.
+        print(
+            f"WARNING: lint whitelists unavailable ({type(exc).__name__}: "
+            f"{exc}) — whitelisted hits will appear in the LINT fields",
+            file=sys.stderr,
+            flush=True,
+        )
+        whitelists_loaded = False
         _wl = set()
         _bwl = set()
 
@@ -322,7 +368,7 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-            lint: dict[str, list[str]] = {"window": [], "broadcast": []}
+            lint: dict[str, list[str]] = {"window": [], "broadcast": [], "agg_warn": []}
             group = f"audit:{name}"
             t0 = time.perf_counter()
             _run_with_watchdog(
@@ -340,6 +386,8 @@ def main() -> None:
                 # expected decline point, not silently dropped.
                 dest = bcast_wl_hits if name in _bwl else bcast_hits
                 dest[name] = [s[:160] for s in lint["broadcast"]]
+            if lint["agg_warn"]:
+                agg_warns[name] = [s[:160] for s in lint["agg_warn"]]
             nf = _failed_tasks_for_group(spark, group)
             if nf:  # only non-clean entries (0 == clean pass, omitted)
                 failed_tasks[name] = nf
@@ -375,6 +423,15 @@ def main() -> None:
             "watchdog_sec": WATCHDOG_SEC,
             "per_query_gc": True,
             "task_attempts": _task_attempts(spark),
+            # False = a lint field may contain WHITELISTED hits (tooling
+            # degradation, not a regression) — see the startup warning.
+            "whitelists_loaded": whitelists_loaded,
+            # Job-group tagging assumes each Python thread pins to its own
+            # JVM thread (PYSPARK_PIN_THREAD, default on since Spark 3.2);
+            # under legacy shared-properties mode failed_tasks attribution
+            # is unreliable — recorded so a consumer can tell.
+            "pinned_threads": os.environ.get("PYSPARK_PIN_THREAD", "true").lower()
+            not in ("0", "false"),
         },
         "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
         "times": ordered,
@@ -398,6 +455,12 @@ def main() -> None:
         # "empty, or each entry explained in the round notes". -1 =
         # status tracker unreadable for that query (dead context).
         "failed_tasks": failed_tasks,
+        # WARN-level (not a gate): broadcast-hinted join sides whose
+        # bounding Aggregate groups on a near-unique corpus key — lint-clean
+        # (an Aggregate is "reducing") but the aggregate itself scales with
+        # the corpus (the q21 class). Entries need adjudication, typically
+        # "hint is size-gated and declines before the aggregate gets big".
+        "broadcast_agg_warn": agg_warns,
     }
     if baseline_times:
         ratios = {
@@ -407,6 +470,21 @@ def main() -> None:
         }
         ratios = dict(sorted(ratios.items(), key=lambda kv: -kv[1]))
         out["baseline"] = baseline_path
+        # Ratios are only comparable like-for-like: a baseline produced at a
+        # different scale OR under a different protocol generation (recycle
+        # cadence changes JIT/cache warmth — the r8→r9 recycle-25→10 move
+        # read as 2.3–3.8× "slowdowns" that were protocol, not plan) must be
+        # visible to whoever reads ratio_flagged.
+        out["baseline_meta"] = baseline_meta
+        out["baseline_same_scale"] = same_scale
+        # compare only the TIMING-relevant protocol knobs — informational
+        # fields (whitelists_loaded, pinned_threads) don't change timings
+        blp = baseline_meta.get("protocol") or {}
+        out["baseline_same_protocol"] = bool(blp) and all(
+            blp.get(k) == out["protocol"][k]
+            for k in ("recycle_every", "per_query_gc", "task_attempts")
+        )
+        out["ratio_flag_threshold"] = ratio_flag
         out["ratio_vs_baseline"] = ratios
         out["ratio_flagged"] = {k: v for k, v in ratios.items() if v > ratio_flag}
     print(json.dumps(out))

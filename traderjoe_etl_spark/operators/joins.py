@@ -38,7 +38,7 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
 GATED_BROADCAST_CAP = 64 * 1024 * 1024
 
 
-def gated_broadcast(df: DataFrame, sf_dir: str, table: str, factor: float = 1.0,
+def gated_broadcast(df: DataFrame, sf_dir: str, table: str, selectivity: float = 1.0,
                     cap_bytes: int = GATED_BROADCAST_CAP) -> DataFrame:
     """Broadcast hint that DECLINES itself when the relation scales past a
     byte cap — the sanctioned form for pinning a CORPUS-SCALED build side
@@ -46,25 +46,37 @@ def gated_broadcast(df: DataFrame, sf_dir: str, table: str, factor: float = 1.0,
     relation that grows with the data OOMs at scale; a hint must never
     outlive the stats that justified it).
 
-    ``table_bytes(sf_dir, table) * factor`` estimates the build side's
-    on-disk-equivalent size — the CBO-role stat the static planner lacks
-    for join OUTPUTS (without CBO, Catalyst estimates a join's size as the
-    PRODUCT of its inputs, so a small selective map like "one year of
-    orders keyed to nation" never statically broadcasts without a hint).
-    ``factor`` encodes the caller's selectivity x projected-column
-    fraction; it needs only order-of-magnitude accuracy against a cap with
+    The build side's on-disk-equivalent size is estimated as
+    ``table_bytes(sf_dir, table) * selectivity * column_fraction`` — the
+    CBO-role stat the static planner lacks for join OUTPUTS (without CBO,
+    Catalyst estimates a join's size as the PRODUCT of its inputs, so a
+    small selective map like "one year of orders keyed to nation" never
+    statically broadcasts without a hint). ``selectivity`` is the caller's
+    ROW fraction (filter cut, e.g. 1-of-6 years); the COLUMN fraction is
+    derived live as ``len(df.columns) / table_ncols(sf_dir, table)``
+    (uniform-width approximation, same math the old hand factors encoded),
+    so a call site that later widens its projection automatically widens
+    the estimate instead of silently under-sizing the gate (ADVICE r9).
+    The estimate needs only order-of-magnitude accuracy against a cap with
     ~10x headroom. Below the cap: ``F.broadcast(df)`` (the measured
     bench/audit-scale win). At or above — or when ``table_bytes`` is
     unknown (0) — returns ``df`` unhinted: the plan degrades to the
     shuffle join + AQE runtime stats, never a failure.
 
-    Every call site needs a whitelist entry (with the factor's derivation)
-    in tests/test_plan_shapes.py::_FORCED_BROADCAST_WHITELIST — the
-    registry-wide lint (plans/audit.forced_broadcast_violations) flags the
-    hint at small SF where the gate passes."""
-    from ..sources.tables import table_bytes
+    Every call site needs a whitelist entry (with the selectivity's
+    derivation) in tests/test_plan_shapes.py::_FORCED_BROADCAST_WHITELIST —
+    the registry-wide lint (plans/audit.forced_broadcast_violations) flags
+    the hint at small SF where the gate passes."""
+    from ..sources.tables import table_bytes, table_ncols
 
-    est = table_bytes(sf_dir, table) * factor
+    if not 0 < selectivity <= 1:
+        raise ValueError(
+            f"gated_broadcast: selectivity must be a row fraction in (0, 1], "
+            f"got {selectivity!r} — column fraction is derived, not passed"
+        )
+    ncols = table_ncols(sf_dir, table)
+    col_fraction = min(1.0, len(df.columns) / ncols) if ncols else 1.0
+    est = table_bytes(sf_dir, table) * selectivity * col_fraction
     if 0 < est < cap_bytes:
         return F.broadcast(df)
     return df

@@ -86,6 +86,9 @@ def global_window_violations(df: DataFrame) -> list[str]:
                 bad.append(n.simpleString(120))
         for c in kids(n):
             visit(c)
+        # windows inside subquery expressions — same blind spot as hints
+        for sub in _subquery_plans(n):
+            visit(sub)
 
     visit(plan)
     return bad
@@ -216,9 +219,196 @@ def forced_broadcast_violations(df: DataFrame) -> list[str]:
                     bad.append("broadcast-hint over " + "|".join(scans))
         for c in cs:
             visit(c)
+        # hints inside subquery EXPRESSIONS (scalar/IN/EXISTS plans) are
+        # invisible to children() — descend explicitly (ADVICE r9)
+        for sub in _subquery_plans(n):
+            visit(sub)
 
     visit(plan)
     return bad
+
+
+# Corpus-table keys whose DISTINCT COUNT scales ~linearly with the corpus —
+# grouping on a key set that CONTAINS one of these barely deduplicates over
+# its home table (o_orderkey 1:1 on orders, l_orderkey ~4:1 on lineitem,
+# doc_id 1:1 on documents, ...), which is the r7–r9 heap-OOM family: a
+# map-side partial aggregate over such keys grows a near-input-share hash map
+# in every concurrent scan task (q16 distinct, pagerank dropDuplicates, q21
+# agg+window, constraint_check count_distinct phase 1). Shared between the
+# hinted-aggregate warn lint below and tools/partial_agg_sweep.py.
+# KNOWN LIMITATION (documented, accepted): the match is by RAW attribute
+# name, so a grouping key RENAMED above the scan (e.g. pagerank's src/dst)
+# escapes the heuristic — renamed-key sites are covered by the at-scale
+# audit's memory behavior, and every fixed site keeps an Exchange below,
+# which clears it here anyway.
+NEAR_UNIQUE_CORPUS_KEYS = frozenset(
+    {"o_orderkey", "l_orderkey", "c_custkey", "p_partkey", "event_id", "doc_id", "vec_id"}
+)
+
+_KEY_TOKEN_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _near_unique_hits(expr_strings: list[str]) -> list[str]:
+    """Near-unique corpus keys referenced by the given expression strings
+    (Catalyst attributes print as name#exprId)."""
+    hits: set[str] = set()
+    for s in expr_strings:
+        hits.update(t for t in _KEY_TOKEN_RE.findall(s) if t in NEAR_UNIQUE_CORPUS_KEYS)
+    return sorted(hits)
+
+
+def partial_agg_hazards(df: DataFrame) -> list[str]:
+    """Physical-plan DIAGNOSTIC (not a lint): aggregate nodes that (a) group
+    on a key set containing a near-unique corpus key and (b) reach a
+    storage-backed corpus scan with NO Exchange in between — i.e. the
+    aggregate's first phase runs map-side inside the scan stage, so each of
+    the ~32 concurrent scan tasks builds a hash map whose size tracks its
+    input share. When the grouping barely deduplicates that map is
+    near-input-sized and the stage is the q16/pagerank/q21/constraint_check
+    heap-OOM class; when it deduplicates well (doc_id over exploded tokens,
+    ~60:1) the map-side combine is the designed WIN — which is exactly why
+    this is a diagnostic requiring per-hit adjudication (dedup ratio is a
+    property of the DATA, not the plan; see tools/partial_agg_sweep.py for
+    the registry sweep + adjudication table). Walks the pre-AQE physical
+    plan (sparkPlan): AQE can only coalesce partitions afterwards, never
+    insert the missing exchange. Returns one string per hit (empty ==
+    no map-side phase groups on a near-unique key)."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    bad: list[str] = []
+
+    def kids(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def corpus_scan_no_exchange(n) -> bool:
+        """True if a storage-backed corpus-table scan is reachable without
+        crossing any Exchange (shuffle or broadcast) or another aggregate
+        (a lower aggregate owns its own hazard; its OUTPUT is the reduced
+        relation the upper one consumes)."""
+        cls = n.getClass().getSimpleName()
+        if "Exchange" in cls or "AggregateExec" in cls:
+            return False
+        cs = kids(n)
+        if not cs:
+            if cls not in (
+                "FileSourceScanExec",
+                "RowDataSourceScanExec",
+                "BatchScanExec",
+                "InMemoryTableScanExec",
+            ):
+                return False
+            try:
+                out = n.output()
+                attrs = {out.apply(i).name() for i in range(out.size())}
+            except Exception:
+                return False
+            return bool(attrs & _CORPUS_SCAN_COLS)
+        return any(corpus_scan_no_exchange(c) for c in cs)
+
+    def visit(n) -> None:
+        cls = n.getClass().getSimpleName()
+        if cls.endswith("AggregateExec"):
+            try:
+                ge = n.groupingExpressions()
+                keys = [ge.apply(i).toString() for i in range(ge.size())]
+            except Exception:
+                keys = []
+            hits = _near_unique_hits(keys)
+            if hits and any(corpus_scan_no_exchange(c) for c in kids(n)):
+                bad.append(
+                    f"{cls} groups on near-unique key(s) {','.join(hits)} "
+                    f"map-side over a corpus scan (no Exchange below): "
+                    f"keys={[k[:40] for k in keys]}"
+                )
+        for c in kids(n):
+            visit(c)
+
+    visit(plan)
+    return bad
+
+
+def hinted_aggregate_warnings(df: DataFrame) -> list[str]:
+    """WARN-level companion to ``forced_broadcast_violations`` (ADVICE r9):
+    that lint treats any Aggregate as reducing, so a broadcast hint over an
+    aggregate GROUPED ON A NEAR-UNIQUE CORPUS KEY (exactly the q21 hazard
+    class — such an "aggregate" scales with the corpus) is lint-clean yet
+    scale-fatal. This walk flags broadcast-hinted join sides containing
+    such an Aggregate that itself reaches a corpus scan. Warn, not fatal:
+    a near-unique-keyed aggregate under a SIZE-GATED hint is legitimate
+    while the gate holds — consumers surface these for adjudication
+    (scale_audit emits them as ``broadcast_agg_warn``)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    warns: list[str] = []
+
+    def kids(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def reaches_corpus_scan(n) -> bool:
+        cls = n.getClass().getSimpleName()
+        cs = kids(n)
+        if not cs:
+            if cls not in _SCAN_LEAF_NODES:
+                return False
+            try:
+                out = n.output()
+                attrs = {out.apply(i).name() for i in range(out.size())}
+            except Exception:
+                return False
+            return bool(attrs & _CORPUS_SCAN_COLS)
+        return any(reaches_corpus_scan(c) for c in cs)
+
+    def scaling_aggs(n) -> list[str]:
+        found: list[str] = []
+        if n.getClass().getSimpleName() == "Aggregate":
+            try:
+                ge = n.groupingExpressions()
+                keys = [ge.apply(i).toString() for i in range(ge.size())]
+            except Exception:
+                keys = []
+            hits = _near_unique_hits(keys)
+            if hits and any(reaches_corpus_scan(c) for c in kids(n)):
+                found.append(f"Aggregate grouped on near-unique {','.join(hits)}")
+        for c in kids(n):
+            found.extend(scaling_aggs(c))
+        return found
+
+    def is_broadcast(opt) -> bool:
+        try:
+            if opt.isDefined():
+                st = opt.get().strategy()
+                return st.isDefined() and "broadcast" in st.get().toString().lower()
+        except Exception:
+            pass
+        return False
+
+    def visit(n) -> None:
+        if n.getClass().getSimpleName() == "Join":
+            h = n.hint()
+            cs = kids(n)
+            for opt, side in ((h.leftHint(), 0), (h.rightHint(), 1)):
+                if is_broadcast(opt):
+                    for a in scaling_aggs(cs[side]):
+                        warns.append(f"broadcast-hint over {a}")
+        for c in kids(n):
+            visit(c)
+        for sub in _subquery_plans(n):
+            visit(sub)
+
+    visit(plan)
+    return warns
+
+
+def _subquery_plans(n) -> list:
+    """Child plans hiding inside subquery EXPRESSIONS (scalar subquery /
+    IN / EXISTS) — ``children()`` does not descend into them, so a lint
+    that only walks children misses hints planted there (ADVICE r9).
+    Catalyst's ``QueryPlan.subqueries`` returns exactly these plans."""
+    try:
+        s = n.subqueries()
+        return [s.apply(i) for i in range(s.size())]
+    except Exception:
+        return []
 
 
 def plan_facts(df: DataFrame) -> PlanFacts:

@@ -269,17 +269,18 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probing later, but measured 9.1 → 3.7 s at sf10 (the post-join probe
     # shape kept the custkey column live through the join stage and its
     # whole-stage-codegen pipeline; the pre-projected map keeps the join
-    # input at exactly key+region). The hint is SIZE-GATED (gated_broadcast,
-    # factor = the 2-of-5-column projection): customer scales with the
-    # corpus, so past the byte cap the hint drops away and this degrades to
-    # the plain shuffle join + AQE, not a failure (the q18 rule).
+    # input at exactly key+region). The hint is SIZE-GATED (gated_broadcast;
+    # every customer row survives, so selectivity = 1 and the 2-of-5-column
+    # projection fraction is derived from the frame itself): customer scales
+    # with the corpus, so past the byte cap the hint drops away and this
+    # degrades to the plain shuffle join + AQE, not a failure (the q18 rule).
     enr = broadcast_dim_join(
         broadcast_dim_join(cust, nation, cust.c_nationkey == nation.n_nationkey),
         region,
         F.col("n_regionkey") == region.r_regionkey,
     ).select("c_custkey", "r_name")
     order_region = orders.join(
-        gated_broadcast(enr, sf_dir, "customer", 2 / 5),
+        gated_broadcast(enr, sf_dir, "customer"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "r_name")
     # Stats-adaptive physical strategy (what a CBO does from table stats):

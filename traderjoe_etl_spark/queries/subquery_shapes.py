@@ -243,6 +243,15 @@ def having_in_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXISTS + NOT EXISTS on the same fact (Q21 shape)
 # ---------------------------------------------------------------------------
 
+# Map-side/reduce-side branch point for q21's level-1 aggregate: below this
+# on-disk lineitem size the map-side partial agg's near-input-share hash maps
+# fit comfortably (sf10 = 1.0 GB, measured 16.9 s map-side vs 28.1 s forced
+# reduce-side); above it they are the r9 heap-OOM class (sf100 = 10.8 GB).
+# 4 GiB splits the two measured points with >=2.7x margin on each side; the
+# hazard scales with input bytes vs the fixed shared heap, like
+# retrieval._SPARSE_PIN_BYTES.
+_Q21_MAPSIDE_CAP_BYTES = 4 << 30
+
 
 @query(
     "exists_sole_blame_suppliers_q21",
@@ -267,19 +276,28 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
     with an 'R' line (NOT EXISTS). One pass, no self-join, no broadcast of
     anything fact-sized:
 
-    1. level-1 aggregate to (orderkey, suppkey, r_lines), run REDUCE-SIDE
-       behind an explicit orderkey repartition at corpus-scaled width (the
-       Q16/pagerank pattern, 4th consumer): (orderkey, suppkey) barely
-       deduplicates (~1.3 lines per pair), so a map-side partial agg grows
-       a near-input-share hash map in EVERY concurrent scan task — at
+    1. level-1 aggregate to (orderkey, suppkey, r_lines). PAST a byte gate
+       (lineitem > 4 GiB on disk) it runs REDUCE-SIDE behind an explicit
+       orderkey repartition at corpus-scaled width (the Q16/pagerank
+       pattern, 4th consumer): (orderkey, suppkey) barely deduplicates
+       (~1.3 lines per pair), so a map-side partial agg grows a
+       near-input-share hash map in EVERY concurrent scan task — at
        sf100 (600M rows) that stack of concurrent partial maps plus the
        downstream 32-partition window sort heap-OOM'd the r9 sweep
        (passed r8 at 105 s — it was marginal, not safe). Partitioning by
        orderkey ALONE satisfies the pair-key clustering (same order ⇒
        same partition ⇒ same pair co-located), so ONE exchange serves the
-       aggregate AND step 2's window, and both now run in
-       corpus_width-bounded tasks; at or below the session default width
-       the repartition IS the aggregate's own exchange;
+       aggregate AND step 2's window, and both run in corpus_width-bounded
+       tasks. BELOW the gate the repartition is skipped (the sparse-cosine
+       ``at_scale`` pattern): r9 measured the unconditional reduce-side
+       form at 28.1 s fresh sf10 vs 16.9 s for map-side — at 1 GB input
+       the concurrent partial maps are harmless and map-side combine +
+       the pair-key exchange win; the docstring's earlier claim that the
+       repartition "IS the aggregate's own exchange" at small SF was
+       wrong in measurement (the narrow forced width and lost combine
+       cost ~11 s). Gate margin ≥2.7× on both sides: sf10 lineitem
+       1.0 GB < 4 GiB < 10.8 GB sf100; unknown table bytes (0) take the
+       conservative at-scale branch;
     2. per-order supplier counts (n_supp, n_r_supp) as WINDOW aggregates
        over the level-1 rows — reuses the orderkey partitioning, no second
        fact shuffle and no Expand (an earlier form used two countDistinct
@@ -292,12 +310,16 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
        broadcast for names."""
     from pyspark.sql import Window
 
-    from ..sources.tables import corpus_width
+    from ..sources.tables import corpus_width, table_bytes
 
     li = _t(spark, sf_dir, "lineitem")
+    li_bytes = table_bytes(sf_dir, "lineitem")
+    at_scale = li_bytes == 0 or li_bytes > _Q21_MAPSIDE_CAP_BYTES
+    src = (
+        li.repartition(corpus_width(sf_dir, "lineitem"), "l_orderkey") if at_scale else li
+    )
     lvl1 = (
-        li.repartition(corpus_width(sf_dir, "lineitem"), "l_orderkey")
-        .groupBy("l_orderkey", "l_suppkey")
+        src.groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
         )

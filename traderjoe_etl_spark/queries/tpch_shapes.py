@@ -170,15 +170,17 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule: customer and orders scale WITH the corpus, so an unconditional
     # pin is a scale bug): past the byte cap the hints drop away and this
     # degrades to the plain orderkey-shuffle join + AQE — same semantics,
-    # never a failure. Factors = projected-column fraction (2 of 5 / 2 of
-    # 6 columns) x the map's 1-of-6-years date selectivity.
+    # never a failure. Selectivities = the row fractions each build side
+    # keeps (all customers / the map's 1-of-6-years date cut); the
+    # projected-column fraction (2 of 5 / 2 of 6 columns) is derived from
+    # the frames themselves so projection drift re-sizes the gate.
     order_nation = orders.join(
-        gated_broadcast(cust.select("c_custkey", "c_nationkey"), sf_dir, "customer", 2 / 5),
+        gated_broadcast(cust.select("c_custkey", "c_nationkey"), sf_dir, "customer"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_nationkey")
     return (
         li.join(
-            gated_broadcast(order_nation, sf_dir, "orders", (1 / 6) * (1 / 3)),
+            gated_broadcast(order_nation, sf_dir, "orders", 1 / 6),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
@@ -274,18 +276,16 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resulting (o_orderkey, cust_nation) map — ~8% of orders — is
     # itself broadcast-sized, so the 60M-row lineitem side never
     # shuffles (measured sf10: 9.0 → 2.9 s). Both corpus-fed hints are
-    # SIZE-GATED (gated_broadcast): factors = the 2-of-25-nation
-    # selectivity x projected-column fraction, so the selective cohort
-    # stays pinned far past the point the FULL dim stopped being a
+    # SIZE-GATED (gated_broadcast): selectivity = the 2-of-25-nation row
+    # cut (column fractions derived from the frames), so the selective
+    # cohort stays pinned far past the point the FULL dim stopped being a
     # broadcast dim, and past the cap this degrades to the plain
     # orderkey-shuffle join + AQE.
     cust2 = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).filter(
         F.col("cust_nation").isin("NATION_3", "NATION_7")
     )
     order_nation = orders.join(
-        gated_broadcast(
-            cust2.select("c_custkey", "cust_nation"), sf_dir, "customer", (2 / 25) * (2 / 5)
-        ),
+        gated_broadcast(cust2.select("c_custkey", "cust_nation"), sf_dir, "customer", 2 / 25),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "cust_nation")
     return (
@@ -293,7 +293,7 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
         .join(
-            gated_broadcast(order_nation, sf_dir, "orders", (2 / 25) * (1 / 3)),
+            gated_broadcast(order_nation, sf_dir, "orders", 2 / 25),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .filter(

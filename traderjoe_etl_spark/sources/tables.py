@@ -71,6 +71,42 @@ def table_bytes(sf_dir: str, name: str) -> int:
         return 0
 
 
+def table_ncols(sf_dir: str, name: str) -> int:
+    """Column count of one table from its parquet footer — the second
+    CBO-role stat (beside ``table_bytes``) behind ``gated_broadcast``'s size
+    estimate: the build side's column FRACTION is derived live from
+    ``len(df.columns) / table_ncols(...)`` instead of a hand-maintained
+    factor, so a call site that later widens its projection automatically
+    widens the gate's byte estimate (ADVICE r9: a stale hand factor would
+    silently under-size the gate). One footer read per (sf_dir, table) per
+    process. Returns 0 when unknown (missing path / unreadable footer) —
+    callers must then fall back to the conservative fraction 1.0."""
+    key = (os.path.abspath(sf_dir), f"__ncols__{name}")
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    n = 0
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(root, f)
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            path = parts[0] if parts else ""
+        if path:
+            n = len(pq.read_schema(path).names)
+    except Exception:
+        n = 0
+    if n:  # don't cache a miss — the dir may be generated later in-process
+        _SCHEMA_CACHE[key] = n
+    return n
+
+
 def corpus_width(
     sf_dir: str,
     name: str,
