@@ -632,6 +632,23 @@ def test_hinted_aggregate_warn_unit(spark):
         orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
     ) == []
 
+    # inner near-unique aggregate BOUNDED by a vocab-keyed outer aggregate
+    # (or a Limit): the OUTERMOST reducer sets the hinted relation's size,
+    # so these are provably tiny — must stay quiet (review fix r10)
+    rebounded = per_order.groupBy(F.col("q")).agg(F.count(F.lit(1)).alias("n"))
+    assert hinted_aggregate_warnings(orders.crossJoin(F.broadcast(rebounded))) == []
+    cut = per_order.limit(100)
+    assert hinted_aggregate_warnings(
+        orders.join(F.broadcast(cut), orders.o_orderkey == cut.l_orderkey)
+    ) == []
+
+    # Deduplicate on a near-unique key is the pagerank class — must warn
+    dd = li.select("l_orderkey", "l_suppkey").dropDuplicates(["l_orderkey", "l_suppkey"])
+    ddw = hinted_aggregate_warnings(
+        orders.join(F.broadcast(dd), orders.o_orderkey == dd.l_orderkey)
+    )
+    assert ddw and "l_orderkey" in ddw[0], f"near-unique Deduplicate must warn: {ddw}"
+
 
 def test_hinted_aggregate_warn_registry_wide(spark, qs):
     """No registry query ships a broadcast hint whose bounding aggregate

@@ -274,6 +274,9 @@ def main() -> None:
     spark = _fresh_session()
     qs = queries()
     if only:
+        unknown = only - set(qs)
+        if unknown:  # a typo'd name must not read as a clean pass
+            sys.exit(f"unknown query name(s): {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in only}
 
     hits: dict[str, dict[str, object]] = {}

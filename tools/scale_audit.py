@@ -294,9 +294,11 @@ def main() -> None:
     # for sf10→sf100 denominators but passed 2.3–3.8× SAME-SCALE round-over-
     # round slowdowns silently): a baseline at the same sf_dir compares
     # like-for-like, where anything ≥3× deserves a fresh-vs-fresh pair.
-    same_scale = bool(baseline_meta) and os.path.normpath(
+    # abspath both sides: an absolute-vs-relative spelling of the SAME dir
+    # must not silently fall back to the loose cross-scale threshold
+    same_scale = bool(baseline_meta) and os.path.abspath(
         str(baseline_meta.get("sf_dir"))
-    ) == os.path.normpath(sf_dir)
+    ) == os.path.abspath(sf_dir)
     ratio_flag = float(flag_vals.get("--ratio-flag", "3" if same_scale else "15"))
 
     from traderjoe_etl_spark.queries import queries
@@ -304,6 +306,9 @@ def main() -> None:
     spark = _fresh_session()
     qs = queries()
     if only:
+        unknown = only - set(qs)
+        if unknown:  # a typo'd name must not read as a clean (empty) sweep
+            sys.exit(f"unknown query name(s): {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in only}
 
     times: dict[str, float] = {}

@@ -359,16 +359,27 @@ def hinted_aggregate_warnings(df: DataFrame) -> list[str]:
         return any(reaches_corpus_scan(c) for c in cs)
 
     def scaling_aggs(n) -> list[str]:
-        found: list[str] = []
-        if n.getClass().getSimpleName() == "Aggregate":
+        """Walk STOPS at the first reducing node on each path — the
+        OUTERMOST reducer determines the hinted relation's size, so an
+        inner near-unique aggregate under a vocab-keyed outer aggregate
+        or a Limit is provably bounded and must not warn (it would force
+        a bogus whitelist entry for a relation that cannot scale).
+        Deduplicate is checked like Aggregate: dedup on a near-unique
+        corpus key scales too (the pagerank class)."""
+        cls = n.getClass().getSimpleName()
+        if cls in ("GlobalLimit", "LocalLimit"):
+            return []  # bounded — stop
+        if cls in ("Aggregate", "Deduplicate"):
             try:
-                ge = n.groupingExpressions()
+                ge = n.groupingExpressions() if cls == "Aggregate" else n.keys()
                 keys = [ge.apply(i).toString() for i in range(ge.size())]
             except Exception:
                 keys = []
             hits = _near_unique_hits(keys)
             if hits and any(reaches_corpus_scan(c) for c in kids(n)):
-                found.append(f"Aggregate grouped on near-unique {','.join(hits)}")
+                return [f"{cls} grouped on near-unique {','.join(hits)}"]
+            return []  # reducing node on safe keys bounds the subtree — stop
+        found: list[str] = []
         for c in kids(n):
             found.extend(scaling_aggs(c))
         return found
@@ -383,14 +394,26 @@ def hinted_aggregate_warnings(df: DataFrame) -> list[str]:
         return False
 
     def visit(n) -> None:
-        if n.getClass().getSimpleName() == "Join":
+        name = n.getClass().getSimpleName()
+        cs = kids(n)
+        if name == "Join":
             h = n.hint()
-            cs = kids(n)
             for opt, side in ((h.leftHint(), 0), (h.rightHint(), 1)):
                 if is_broadcast(opt):
                     for a in scaling_aggs(cs[side]):
                         warns.append(f"broadcast-hint over {a}")
-        for c in kids(n):
+        elif name == "ResolvedHint":
+            # defensive parity with forced_broadcast_violations: a hint the
+            # optimizer has not (yet) folded into a Join
+            try:
+                st = n.hints().strategy()
+                hinted = st.isDefined() and "broadcast" in st.get().toString().lower()
+            except Exception:
+                hinted = False
+            if hinted:
+                for a in scaling_aggs(cs[0]):
+                    warns.append(f"broadcast-hint over {a}")
+        for c in cs:
             visit(c)
         for sub in _subquery_plans(n):
             visit(sub)
