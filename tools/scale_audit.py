@@ -338,6 +338,7 @@ def main() -> None:
         _wl = set()
         _bwl = set()
 
+    disk_floor_mb: dict[str, int] = {}  # pre-query free /tmp space (MB)
     for i, name in enumerate(sorted(qs)):
         if recycle_every and i and i % recycle_every == 0:
             # Uniform protocol point: shed accumulated heap/daemon state so
@@ -346,6 +347,17 @@ def main() -> None:
             print(f"... recycling session at query {i}", file=sys.stderr, flush=True)
             spark = _fresh_session(spark)
         print(f"... {name}", file=sys.stderr, flush=True)  # hang forensics
+        try:
+            # Shuffle-spill headroom forensics (r10: THREE in-sweep context
+            # deaths traced to /tmp exhaustion — sparse_shingle alone spills
+            # ~40 GB and a 10-query session accumulates prior queries'
+            # shuffle files until context stop; the box has only ~53 GB
+            # effective headroom). Record the floor so a death's disk state
+            # is attributable from the artifact alone.
+            st = os.statvfs("/tmp")
+            disk_floor_mb[name] = int(st.f_bavail * st.f_frsize / 1e6)
+        except Exception:
+            pass
         try:
             # time BUILD + execute: iterative queries do real work in
             # eager localCheckpoints during construction (BFS, pagerank) —
@@ -466,6 +478,10 @@ def main() -> None:
         # the corpus (the q21 class). Entries need adjudication, typically
         # "hint is size-gated and declines before the aggregate gets big".
         "broadcast_agg_warn": agg_warns,
+        # pre-query free /tmp megabytes (min over the sweep tells whether
+        # shuffle spill approached disk exhaustion — the r10 failure mode);
+        # only the 10 lowest readings are kept to bound artifact size.
+        "disk_floor_mb": dict(sorted(disk_floor_mb.items(), key=lambda kv: kv[1])[:10]),
     }
     if baseline_times:
         ratios = {
