@@ -724,3 +724,56 @@ def test_gated_broadcast_derives_column_fraction(spark):
 
     with _pytest.raises(ValueError):
         gated_broadcast(narrow, SF, "lineitem", selectivity=1.5)
+
+
+def test_partial_agg_hazard_sees_subquery_plans(spark):
+    """Review finding r10: the physical walk can't see subquery plans
+    (they are still LOGICAL at sparkPlan stage), so partial_agg_hazards
+    checks them with the logical twin of the same hazard. A near-unique
+    distinct inside a scalar subquery must flag; the corpus_width-style
+    explicit repartition clears it; a vocab-keyed subquery aggregate
+    never flags."""
+    from traderjoe_etl_spark.plans.audit import partial_agg_hazards
+    from traderjoe_etl_spark.sources.tables import read_table
+
+    read_table(spark, SF, "orders").createOrReplaceTempView("pa_sub_orders")
+    read_table(spark, SF, "lineitem").createOrReplaceTempView("pa_sub_li")
+
+    hazard = spark.sql(
+        """
+        SELECT o_orderkey FROM pa_sub_orders
+        WHERE o_totalprice > (
+            SELECT count(*) FROM (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM pa_sub_li
+            )
+        )
+        """
+    )
+    bad = partial_agg_hazards(hazard)
+    assert any("subquery" in b and "l_orderkey" in b for b in bad), (
+        f"near-unique distinct inside a scalar subquery must flag: {bad}"
+    )
+
+    fixed = spark.sql(
+        """
+        SELECT o_orderkey FROM pa_sub_orders
+        WHERE o_totalprice > (
+            SELECT count(*) FROM (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM (SELECT /*+ REPARTITION(32, l_orderkey) */ l_orderkey, l_suppkey
+                      FROM pa_sub_li)
+            )
+        )
+        """
+    )
+    assert [b for b in partial_agg_hazards(fixed) if "subquery" in b] == []
+
+    vocab = spark.sql(
+        """
+        SELECT o_orderkey FROM pa_sub_orders
+        WHERE o_totalprice > (
+            SELECT count(*) FROM (SELECT DISTINCT l_returnflag FROM pa_sub_li)
+        )
+        """
+    )
+    assert [b for b in partial_agg_hazards(vocab) if "subquery" in b] == []

@@ -324,6 +324,66 @@ def partial_agg_hazards(df: DataFrame) -> list[str]:
             visit(c)
 
     visit(plan)
+    # Subquery expressions (scalar/IN/EXISTS) are invisible to the physical
+    # walk: at sparkPlan stage they still hold LOGICAL plans (PlanSubqueries
+    # only runs in executedPlan preparation). Check them with the logical
+    # variant of the same hazard — pre-planner, the only exchanges that
+    # exist in EITHER representation are explicit Repartition nodes, so
+    # "no Repartition below" is the same signal the physical check reads.
+    bad.extend(_logical_subquery_agg_hazards(df._jdf.queryExecution().optimizedPlan()))
+    return bad
+
+
+def _logical_subquery_agg_hazards(plan) -> list[str]:
+    """Near-unique-keyed Aggregate/Deduplicate nodes inside SUBQUERY plans
+    that reach a corpus scan with no explicit Repartition below — the
+    logical-plan twin of ``partial_agg_hazards``'s physical check, applied
+    to the plans ``children()`` walks can't see (review finding r10)."""
+    bad: list[str] = []
+
+    def kids(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def corpus_scan_no_repart(n) -> bool:
+        cls = n.getClass().getSimpleName()
+        if cls in ("RepartitionByExpression", "Repartition", "RebalancePartitions"):
+            return False
+        if cls in ("Aggregate", "Deduplicate"):
+            return False  # a lower aggregate owns its own hazard
+        cs = kids(n)
+        if not cs:
+            if cls not in _SCAN_LEAF_NODES:
+                return False
+            try:
+                out = n.output()
+                attrs = {out.apply(i).name() for i in range(out.size())}
+            except Exception:
+                return False
+            return bool(attrs & _CORPUS_SCAN_COLS)
+        return any(corpus_scan_no_repart(c) for c in cs)
+
+    def check(n, in_subquery: bool) -> None:
+        cls = n.getClass().getSimpleName()
+        if in_subquery and cls in ("Aggregate", "Deduplicate"):
+            try:
+                ge = n.groupingExpressions() if cls == "Aggregate" else n.keys()
+                keys = [ge.apply(i).toString() for i in range(ge.size())]
+            except Exception:
+                keys = []
+            hits = _near_unique_hits(keys)
+            if hits and any(corpus_scan_no_repart(c) for c in kids(n)):
+                bad.append(
+                    f"{cls} (inside a subquery plan) groups on near-unique "
+                    f"key(s) {','.join(hits)} over a corpus scan with no "
+                    f"Repartition below: keys={[k[:40] for k in keys]}"
+                )
+        for c in kids(n):
+            check(c, in_subquery)
+        for sub in _subquery_plans(n):
+            check(sub, True)
+
+    check(plan, False)
     return bad
 
 
