@@ -259,7 +259,7 @@ def main() -> None:
     # space-separated value ("--recycle 10" puts 10 into the positionals
     # as a bogus threshold) silently misconfigures a multi-hour sweep —
     # fail fast instead.
-    KNOWN = {"--recycle", "--baseline", "--ratio-flag"}
+    KNOWN = {"--recycle", "--baseline", "--ratio-flag", "--disk-recycle-mb"}
     flag_vals: dict[str, str] = {}
     pos: list[str] = []
     for a in sys.argv[1:]:
@@ -280,6 +280,15 @@ def main() -> None:
     threshold = float(pos[1]) if len(pos) > 1 else 15.0
     only = set(pos[2:])
     recycle_every = int(flag_vals.get("--recycle", "25"))
+    # Early-recycle floor for FREE /tmp megabytes (0 = off, the r10-and-
+    # earlier protocol): a session accumulates every prior query's shuffle
+    # files until context stop, and the r10 sf100 sweep lost three queries
+    # to /tmp exhaustion (~53 GB effective headroom vs a single query's
+    # ~40 GB spill). With a floor set, the session recycles BEFORE a query
+    # whenever headroom is below it — shedding accumulated spill instead of
+    # dying mid-write. Changes timing comparability (extra recycles), so it
+    # is recorded in the protocol block.
+    disk_recycle_mb = int(flag_vals.get("--disk-recycle-mb", "0"))
     baseline_path = flag_vals.get("--baseline", "")
 
     baseline_times: dict[str, float] = {}
@@ -355,7 +364,16 @@ def main() -> None:
             # effective headroom). Record the floor so a death's disk state
             # is attributable from the artifact alone.
             st = os.statvfs("/tmp")
-            disk_floor_mb[name] = int(st.f_bavail * st.f_frsize / 1e6)
+            free_mb = int(st.f_bavail * st.f_frsize / 1e6)
+            disk_floor_mb[name] = free_mb
+            if disk_recycle_mb and free_mb < disk_recycle_mb:
+                print(
+                    f"... disk headroom {free_mb} MB < {disk_recycle_mb} — "
+                    f"recycling session before {name}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark = _fresh_session(spark)
         except Exception:
             pass
         try:
@@ -449,6 +467,10 @@ def main() -> None:
             # is unreliable — recorded so a consumer can tell.
             "pinned_threads": os.environ.get("PYSPARK_PIN_THREAD", "true").lower()
             not in ("0", "false"),
+            # 0 = off (the r10-and-earlier protocol); non-zero adds
+            # disk-pressure recycles, so timings are only comparable to
+            # baselines with the same value.
+            "disk_recycle_mb": disk_recycle_mb,
         },
         "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
         "times": ordered,
@@ -504,7 +526,8 @@ def main() -> None:
         out["baseline_same_protocol"] = bool(blp) and all(
             blp.get(k) == out["protocol"][k]
             for k in ("recycle_every", "per_query_gc", "task_attempts")
-        )
+        ) and blp.get("disk_recycle_mb", 0) == disk_recycle_mb
+        # (missing in pre-r10 artifacts == the feature off, i.e. 0)
         out["ratio_flag_threshold"] = ratio_flag
         out["ratio_vs_baseline"] = ratios
         out["ratio_flagged"] = {k: v for k, v in ratios.items() if v > ratio_flag}
