@@ -569,6 +569,55 @@ def test_partial_agg_hazards_unit(spark):
     )
     assert ok == []
 
+    # BOUNDED derivation of a listed key (ADVICE r10): pmod(hash(key), 32)
+    # groups on the transform's fixed 32-way cardinality, not the key's —
+    # the old substring match false-positived here and forced a bogus
+    # adjudication entry; bare-attribute matching stays quiet.
+    bucketed = partial_agg_hazards(
+        li.groupBy(F.pmod(F.hash("l_orderkey"), F.lit(32)).alias("b")).agg(
+            F.sum("l_quantity").alias("q")
+        )
+    )
+    assert bucketed == [], f"fixed-cardinality key derivation must not flag: {bucketed}"
+
+
+def test_q4_size_gate_branches(spark, qs, monkeypatch):
+    """q4's at-scale branch (corpus_width orderkey repartition + reduce-side
+    distinct + left-semi join — the r10 in-sweep sort-task heap-OOM fix)
+    must return exactly the SQL EXISTS branch's rows, plan the explicit
+    exchange, and keep the near-unique distinct off the map side."""
+    from traderjoe_etl_spark.plans.audit import partial_agg_hazards
+    from traderjoe_etl_spark.queries import subquery_shapes as sq
+
+    sql_rows = {
+        tuple(r) for r in qs["exists_priority_counts_q4"](spark, SF).collect()
+    }
+    assert sql_rows  # the gate's small branch is the oracle-checked form
+
+    monkeypatch.setattr(sq, "_Q4_SQL_CAP_BYTES", 1)  # force the at-scale branch
+    big = sq.exists_priority_counts_q4(spark, SF)
+    assert {tuple(r) for r in big.collect()} == sql_rows
+    plan = big._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftSemi" in plan
+    # the l_orderkey distinct is near-unique: must sit above its exchange
+    assert partial_agg_hazards(big) == []
+
+
+def test_near_unique_hits_bare_attribute_only():
+    """ADVICE r10 unit pin: only a grouping expression that IS a bare
+    attribute (name#exprId, optional physical type suffix) of a listed key
+    matches — containment (hash/pmod/date_trunc derivations) does not.
+    The documented false-negative mirror (cardinality-preserving transforms
+    like cast) is accepted alongside the rename limitation."""
+    from traderjoe_etl_spark.plans.audit import _near_unique_hits
+
+    assert _near_unique_hits(["l_orderkey#12L"]) == ["l_orderkey"]
+    assert _near_unique_hits(["o_orderkey#3", "doc_id#7"]) == ["doc_id", "o_orderkey"]
+    assert _near_unique_hits(["pmod(hash(l_orderkey#12L, 42), 32)"]) == []
+    assert _near_unique_hits(["date_trunc(month, o_orderdate#5)"]) == []
+    assert _near_unique_hits(["l_returnflag#9"]) == []  # not a listed key
+    assert _near_unique_hits(["cast(l_orderkey#12L as string)"]) == []  # documented FN
+
 
 def test_partial_agg_sweep_registry_adjudicated(spark, qs):
     """Every map-side near-unique-key partial agg in the registry (at the

@@ -61,10 +61,6 @@ def global_window_violations(df: DataFrame) -> list[str]:
     plan = df._jdf.queryExecution().optimizedPlan()
     bad: list[str] = []
 
-    def kids(n):
-        s = n.children()
-        return [s.apply(i) for i in range(s.size())]
-
     def is_bounded(n) -> bool:
         """Output cardinality bounded by construction. A Limit bounds its
         subtree; multi-child nodes (joins, unions) are bounded only when
@@ -72,7 +68,7 @@ def global_window_violations(df: DataFrame) -> list[str]:
         other branch's corpus-scale rows flowing through the join."""
         if n.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
             return True
-        cs = kids(n)
+        cs = _kids(n)
         if not cs:
             return False
         return all(is_bounded(c) for c in cs)
@@ -82,9 +78,9 @@ def global_window_violations(df: DataFrame) -> list[str]:
             order = n.orderSpec()
             keys = [order.apply(i).child().toString() for i in range(order.size())]
             pid_keyed = bool(keys) and all("__pid" in k for k in keys)
-            if not pid_keyed and not all(is_bounded(c) for c in kids(n)):
+            if not pid_keyed and not all(is_bounded(c) for c in _kids(n)):
                 bad.append(n.simpleString(120))
-        for c in kids(n):
+        for c in _kids(n):
             visit(c)
         # windows inside subquery expressions — same blind spot as hints
         for sub in _subquery_plans(n):
@@ -129,6 +125,97 @@ _SCAN_LEAF_NODES = frozenset(
     {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation", "StreamingRelation"}
 )
 
+# Physical-plan twins of _SCAN_LEAF_NODES (sparkPlan walks).
+_PHYSICAL_SCAN_LEAVES = frozenset(
+    {
+        "FileSourceScanExec",
+        "RowDataSourceScanExec",
+        "BatchScanExec",
+        "InMemoryTableScanExec",
+    }
+)
+
+
+# --- shared py4j walk helpers -------------------------------------------------
+# One copy each (review finding r10 / VERDICT r10 item 4: three private copies
+# of kids/is_broadcast/corpus-scan-reachability across the four lint functions
+# were a drift bug waiting to desynchronize the lints).
+
+
+def _kids(n) -> list:
+    """Children of a Catalyst plan node (Scala Seq → Python list)."""
+    s = n.children()
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _is_broadcast_hint(opt) -> bool:
+    """Option[HintInfo] → carries a broadcast strategy?"""
+    try:
+        if opt.isDefined():
+            st = opt.get().strategy()
+            return st.isDefined() and "broadcast" in st.get().toString().lower()
+    except Exception:
+        pass
+    return False
+
+
+def _corpus_scans(n, stop, leaf_classes=_SCAN_LEAF_NODES) -> list[str]:
+    """Corpus-table STORAGE leaves reachable from ``n`` without crossing a
+    node whose class name satisfies ``stop`` (a callable on the simple class
+    name — each lint supplies its own barrier set: reducing nodes, Exchanges,
+    explicit Repartitions, or nothing). Only ``leaf_classes`` count as
+    storage: a LocalRelation / Range / OneRowRelation literal whose columns
+    happen to reuse a generic corpus name (value, ts, label, ...) is
+    fixed-size by construction and must not force a bogus whitelist entry.
+    Returns one ``Cls(col,...)`` string per reachable corpus leaf (callers
+    needing only reachability truth-test the list)."""
+    cls = n.getClass().getSimpleName()
+    if stop(cls):
+        return []
+    cs = _kids(n)
+    if not cs:
+        if cls not in leaf_classes:
+            return []
+        try:
+            out = n.output()
+            attrs = {out.apply(i).name() for i in range(out.size())}
+        except Exception:
+            return []
+        hit = sorted(attrs & _CORPUS_SCAN_COLS)
+        return [f"{cls}({','.join(hit[:4])})"] if hit else []
+    found: list[str] = []
+    for c in cs:
+        found.extend(_corpus_scans(c, stop, leaf_classes))
+    return found
+
+
+def _stop_reducing(cls: str) -> bool:
+    """forced_broadcast barrier: nodes that REDUCE their input bound it."""
+    return cls in _REDUCING_NODES
+
+
+def _stop_physical_exchange_or_agg(cls: str) -> bool:
+    """partial_agg barrier (physical): an Exchange means the aggregate's
+    first phase is NOT in the scan stage; a lower AggregateExec owns its
+    own hazard (its output is the reduced relation the upper one sees)."""
+    return "Exchange" in cls or "AggregateExec" in cls
+
+
+def _stop_logical_repart_or_agg(cls: str) -> bool:
+    """partial_agg barrier (logical subquery twin): pre-planner, the only
+    exchanges that exist are explicit Repartition nodes."""
+    return cls in (
+        "RepartitionByExpression",
+        "Repartition",
+        "RebalancePartitions",
+        "Aggregate",
+        "Deduplicate",
+    )
+
+
+def _stop_never(cls: str) -> bool:
+    return False
+
 
 def forced_broadcast_violations(df: DataFrame) -> list[str]:
     """Broadcast HINTS whose build side is an unaggregated scan of a
@@ -155,55 +242,15 @@ def forced_broadcast_violations(df: DataFrame) -> list[str]:
     plan = df._jdf.queryExecution().optimizedPlan()
     bad: list[str] = []
 
-    def kids(n):
-        s = n.children()
-        return [s.apply(i) for i in range(s.size())]
-
-    def corpus_scans(n) -> list[str]:
-        """Corpus-table leaves reachable WITHOUT crossing a reducing node.
-        Only STORAGE-backed scan classes count: a LocalRelation / Range /
-        OneRowRelation literal whose columns happen to reuse a generic
-        corpus name (value, ts, label, ...) is fixed-size by construction
-        and must not force a bogus whitelist entry."""
-        cls = n.getClass().getSimpleName()
-        if cls in _REDUCING_NODES:
-            return []
-        cs = kids(n)
-        if not cs:
-            if cls not in _SCAN_LEAF_NODES:
-                return []
-            try:
-                out = n.output()
-                attrs = {out.apply(i).name() for i in range(out.size())}
-            except Exception:
-                return []
-            hit = sorted(attrs & _CORPUS_SCAN_COLS)
-            if hit:
-                return [f"{cls}({','.join(hit[:4])})"]
-            return []
-        found: list[str] = []
-        for c in cs:
-            found.extend(corpus_scans(c))
-        return found
-
-    def is_broadcast(opt) -> bool:
-        """Option[HintInfo] → carries a broadcast strategy?"""
-        try:
-            if opt.isDefined():
-                st = opt.get().strategy()
-                return st.isDefined() and "broadcast" in st.get().toString().lower()
-        except Exception:
-            pass
-        return False
-
     def visit(n) -> None:
         name = n.getClass().getSimpleName()
-        cs = kids(n)
+        cs = _kids(n)
         if name == "Join":
             h = n.hint()
             for opt, side in ((h.leftHint(), 0), (h.rightHint(), 1)):
-                if is_broadcast(opt):
-                    scans = corpus_scans(cs[side])
+                if _is_broadcast_hint(opt):
+                    # corpus leaves reachable WITHOUT crossing a reducing node
+                    scans = _corpus_scans(cs[side], _stop_reducing)
                     if scans:
                         bad.append("broadcast-hint over " + "|".join(scans))
         elif name == "ResolvedHint":
@@ -214,7 +261,7 @@ def forced_broadcast_violations(df: DataFrame) -> list[str]:
             except Exception:
                 hinted = False
             if hinted:
-                scans = corpus_scans(cs[0])
+                scans = _corpus_scans(cs[0], _stop_reducing)
                 if scans:
                     bad.append("broadcast-hint over " + "|".join(scans))
         for c in cs:
@@ -229,7 +276,8 @@ def forced_broadcast_violations(df: DataFrame) -> list[str]:
 
 
 # Corpus-table keys whose DISTINCT COUNT scales ~linearly with the corpus —
-# grouping on a key set that CONTAINS one of these barely deduplicates over
+# grouping on a key set that includes one of these (as a bare attribute; see
+# _near_unique_hits) barely deduplicates over
 # its home table (o_orderkey 1:1 on orders, l_orderkey ~4:1 on lineitem,
 # doc_id 1:1 on documents, ...), which is the r7–r9 heap-OOM family: a
 # map-side partial aggregate over such keys grows a near-input-share hash map
@@ -245,15 +293,27 @@ NEAR_UNIQUE_CORPUS_KEYS = frozenset(
     {"o_orderkey", "l_orderkey", "c_custkey", "p_partkey", "event_id", "doc_id", "vec_id"}
 )
 
-_KEY_TOKEN_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)#\d+")
+# Bare Catalyst attribute: name#exprId, with the optional single-letter type
+# suffix physical attribute strings carry (e.g. l_orderkey#45L for LongType).
+_BARE_ATTR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]?$")
 
 
 def _near_unique_hits(expr_strings: list[str]) -> list[str]:
-    """Near-unique corpus keys referenced by the given expression strings
-    (Catalyst attributes print as name#exprId)."""
+    """Near-unique corpus keys among the given GROUPING expression strings.
+    Matches only BARE attributes (the whole expression string is
+    ``name#exprId``): a grouping key that merely CONTAINS a listed key —
+    ``pmod(hash(l_orderkey#1), 32)``, a date_trunc bucket, any other
+    fixed-cardinality derivation — groups on the TRANSFORM's cardinality,
+    not the key's, and must not force a bogus adjudication entry (ADVICE
+    r10). KNOWN LIMITATION (documented, accepted — the mirror of the
+    rename limitation above): a cardinality-PRESERVING transform of a
+    listed key (cast, concat) now escapes the heuristic too; like renamed
+    keys, such sites are covered by the at-scale audit's memory behavior."""
     hits: set[str] = set()
     for s in expr_strings:
-        hits.update(t for t in _KEY_TOKEN_RE.findall(s) if t in NEAR_UNIQUE_CORPUS_KEYS)
+        m = _BARE_ATTR_RE.match(s.strip())
+        if m and m.group(1) in NEAR_UNIQUE_CORPUS_KEYS:
+            hits.add(m.group(1))
     return sorted(hits)
 
 
@@ -276,35 +336,6 @@ def partial_agg_hazards(df: DataFrame) -> list[str]:
     plan = df._jdf.queryExecution().sparkPlan()
     bad: list[str] = []
 
-    def kids(n):
-        s = n.children()
-        return [s.apply(i) for i in range(s.size())]
-
-    def corpus_scan_no_exchange(n) -> bool:
-        """True if a storage-backed corpus-table scan is reachable without
-        crossing any Exchange (shuffle or broadcast) or another aggregate
-        (a lower aggregate owns its own hazard; its OUTPUT is the reduced
-        relation the upper one consumes)."""
-        cls = n.getClass().getSimpleName()
-        if "Exchange" in cls or "AggregateExec" in cls:
-            return False
-        cs = kids(n)
-        if not cs:
-            if cls not in (
-                "FileSourceScanExec",
-                "RowDataSourceScanExec",
-                "BatchScanExec",
-                "InMemoryTableScanExec",
-            ):
-                return False
-            try:
-                out = n.output()
-                attrs = {out.apply(i).name() for i in range(out.size())}
-            except Exception:
-                return False
-            return bool(attrs & _CORPUS_SCAN_COLS)
-        return any(corpus_scan_no_exchange(c) for c in cs)
-
     def visit(n) -> None:
         cls = n.getClass().getSimpleName()
         if cls.endswith("AggregateExec"):
@@ -314,13 +345,20 @@ def partial_agg_hazards(df: DataFrame) -> list[str]:
             except Exception:
                 keys = []
             hits = _near_unique_hits(keys)
-            if hits and any(corpus_scan_no_exchange(c) for c in kids(n)):
+            # storage-backed corpus scan reachable without crossing any
+            # Exchange (shuffle or broadcast) or another aggregate (a lower
+            # aggregate owns its own hazard; its OUTPUT is the reduced
+            # relation the upper one consumes)
+            if hits and any(
+                _corpus_scans(c, _stop_physical_exchange_or_agg, _PHYSICAL_SCAN_LEAVES)
+                for c in _kids(n)
+            ):
                 bad.append(
                     f"{cls} groups on near-unique key(s) {','.join(hits)} "
                     f"map-side over a corpus scan (no Exchange below): "
                     f"keys={[k[:40] for k in keys]}"
                 )
-        for c in kids(n):
+        for c in _kids(n):
             visit(c)
 
     visit(plan)
@@ -341,28 +379,6 @@ def _logical_subquery_agg_hazards(plan) -> list[str]:
     to the plans ``children()`` walks can't see (review finding r10)."""
     bad: list[str] = []
 
-    def kids(n):
-        s = n.children()
-        return [s.apply(i) for i in range(s.size())]
-
-    def corpus_scan_no_repart(n) -> bool:
-        cls = n.getClass().getSimpleName()
-        if cls in ("RepartitionByExpression", "Repartition", "RebalancePartitions"):
-            return False
-        if cls in ("Aggregate", "Deduplicate"):
-            return False  # a lower aggregate owns its own hazard
-        cs = kids(n)
-        if not cs:
-            if cls not in _SCAN_LEAF_NODES:
-                return False
-            try:
-                out = n.output()
-                attrs = {out.apply(i).name() for i in range(out.size())}
-            except Exception:
-                return False
-            return bool(attrs & _CORPUS_SCAN_COLS)
-        return any(corpus_scan_no_repart(c) for c in cs)
-
     def check(n, in_subquery: bool) -> None:
         cls = n.getClass().getSimpleName()
         if in_subquery and cls in ("Aggregate", "Deduplicate"):
@@ -372,13 +388,17 @@ def _logical_subquery_agg_hazards(plan) -> list[str]:
             except Exception:
                 keys = []
             hits = _near_unique_hits(keys)
-            if hits and any(corpus_scan_no_repart(c) for c in kids(n)):
+            # a lower Aggregate/Deduplicate owns its own hazard; explicit
+            # Repartition nodes are the only pre-planner exchanges
+            if hits and any(
+                _corpus_scans(c, _stop_logical_repart_or_agg) for c in _kids(n)
+            ):
                 bad.append(
                     f"{cls} (inside a subquery plan) groups on near-unique "
                     f"key(s) {','.join(hits)} over a corpus scan with no "
                     f"Repartition below: keys={[k[:40] for k in keys]}"
                 )
-        for c in kids(n):
+        for c in _kids(n):
             check(c, in_subquery)
         for sub in _subquery_plans(n):
             check(sub, True)
@@ -400,24 +420,6 @@ def hinted_aggregate_warnings(df: DataFrame) -> list[str]:
     plan = df._jdf.queryExecution().optimizedPlan()
     warns: list[str] = []
 
-    def kids(n):
-        s = n.children()
-        return [s.apply(i) for i in range(s.size())]
-
-    def reaches_corpus_scan(n) -> bool:
-        cls = n.getClass().getSimpleName()
-        cs = kids(n)
-        if not cs:
-            if cls not in _SCAN_LEAF_NODES:
-                return False
-            try:
-                out = n.output()
-                attrs = {out.apply(i).name() for i in range(out.size())}
-            except Exception:
-                return False
-            return bool(attrs & _CORPUS_SCAN_COLS)
-        return any(reaches_corpus_scan(c) for c in cs)
-
     def scaling_aggs(n) -> list[str]:
         """Walk STOPS at the first reducing node on each path — the
         OUTERMOST reducer determines the hinted relation's size, so an
@@ -436,30 +438,21 @@ def hinted_aggregate_warnings(df: DataFrame) -> list[str]:
             except Exception:
                 keys = []
             hits = _near_unique_hits(keys)
-            if hits and any(reaches_corpus_scan(c) for c in kids(n)):
+            if hits and any(_corpus_scans(c, _stop_never) for c in _kids(n)):
                 return [f"{cls} grouped on near-unique {','.join(hits)}"]
             return []  # reducing node on safe keys bounds the subtree — stop
         found: list[str] = []
-        for c in kids(n):
+        for c in _kids(n):
             found.extend(scaling_aggs(c))
         return found
 
-    def is_broadcast(opt) -> bool:
-        try:
-            if opt.isDefined():
-                st = opt.get().strategy()
-                return st.isDefined() and "broadcast" in st.get().toString().lower()
-        except Exception:
-            pass
-        return False
-
     def visit(n) -> None:
         name = n.getClass().getSimpleName()
-        cs = kids(n)
+        cs = _kids(n)
         if name == "Join":
             h = n.hint()
             for opt, side in ((h.leftHint(), 0), (h.rightHint(), 1)):
-                if is_broadcast(opt):
+                if _is_broadcast_hint(opt):
                     for a in scaling_aggs(cs[side]):
                         warns.append(f"broadcast-hint over {a}")
         elif name == "ResolvedHint":
