@@ -107,11 +107,12 @@ ADJUDICATIONS: dict[str, dict[str, str]] = {
     },
     "exists_sole_blame_suppliers_q21": {
         "code": "size-gated",
-        "why": "below _Q21_MAPSIDE_CAP_BYTES (4 GiB lineitem) the map-side "
-        "partial agg + pair-key exchange is the measured win (16.9 s vs "
-        "28.1 s fresh sf10); past the gate the corpus_width orderkey "
-        "repartition runs the aggregate AND window reduce-side (r9 fix; "
-        "hit disappears at sf100 — verified by this tool's sf100 run).",
+        "why": "below _Q21_MAPSIDE_CAP_BYTES (2 GiB lineitem — 2x the "
+        "largest measured-safe input, ADVICE r10) the map-side partial agg "
+        "+ pair-key exchange is the measured win (16.9 s vs 28.1 s fresh "
+        "sf10); past the gate the corpus_width orderkey repartition runs "
+        "the aggregate AND window reduce-side (r9 fix; hit disappears at "
+        "sf100 — verified by this tool's sf100 run).",
     },
     "feature_hashing": {
         "code": "tf-family",
@@ -318,10 +319,17 @@ def main() -> None:
             }
 
     unadjudicated = sorted(k for k, v in hits.items() if v["adjudication"] is None)
-    stale = sorted(set(ADJUDICATIONS) - set(hits) - set(errors))
+    # Staleness is only meaningful against the queries that actually RAN:
+    # a name-restricted invocation would otherwise report nearly every
+    # ADJUDICATIONS entry as stale (ADVICE r10) — intersect with the swept
+    # set, and record the filter so the artifact is self-describing.
+    stale = sorted((set(ADJUDICATIONS) & set(qs)) - set(hits) - set(errors))
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(qs),
+        # non-empty == targeted re-sweep; stale_adjudications then covers
+        # only these names, not the whole table
+        "name_filter": sorted(only),
         "n_hits": len(hits),
         "hits": hits,
         "unadjudicated": unadjudicated,
