@@ -66,3 +66,22 @@ def test_task_attempts_from_live_master(spark):
         assert got == (int(parts[1]) if len(parts) > 1 else 1)
     else:
         assert got == int(spark.conf.get("spark.task.maxFailures", "4"))
+
+
+def test_spill_dir_resolution(spark, monkeypatch, tmp_path):
+    """ADVICE r10: disk-headroom floors must measure the filesystem Spark
+    actually spills to — SPARK_LOCAL_DIRS env > spark.local.dir conf >
+    /tmp, first entry of a multi-dir value."""
+    from tools.scale_audit import _dir_bytes, _free_mb, _spill_dir
+
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+    base = _spill_dir(spark)  # conf (if the session sets one) or /tmp
+    assert base  # non-empty path either way
+
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/mnt/spill1,/mnt/spill2")
+    assert _spill_dir(spark) == "/mnt/spill1"
+
+    # helpers used by the preflight: real numbers on real paths
+    assert _free_mb("/tmp") > 0
+    (tmp_path / "x.bin").write_bytes(b"\0" * 4096)
+    assert _dir_bytes(str(tmp_path)) >= 4096

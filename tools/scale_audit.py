@@ -21,6 +21,17 @@ Usage: python tools/scale_audit.py [sf_dir] [threshold_sec] [name...]
                             over-round — VERDICT r9: the flat 15 passed
                             2.3–3.8x same-scale slowdowns silently).
 
+         --disk-recycle-mb=N  recycle the session BEFORE any query whose
+                            pre-query free spill-dir space is below N MB
+                            (0 = off). Sheds accumulated shuffle files —
+                            the r10 sf100 sweep lost 3 queries to
+                            spill-dir exhaustion with this off.
+         --preflight-free-mb=N  refuse to START unless the spill dir has
+                            N MB free (default: 3x the sf_dir corpus
+                            bytes — the worst measured single-query spill
+                            is ~2.5x; 0 disables). Fails a doomed sweep
+                            in seconds instead of after 6,400 s.
+
 Trailing name args restrict the sweep to those queries (targeted
 re-audit after changing a subset).
 
@@ -233,6 +244,44 @@ def _fresh_session(spark=None):
     return spark
 
 
+def _spill_dir(spark) -> str:
+    """Directory Spark actually spills shuffle/broadcast blocks to — the
+    filesystem the disk-headroom forensics, the --disk-recycle-mb floor,
+    and the preflight must measure (ADVICE r10: a hardcoded /tmp reads the
+    wrong filesystem when spark.local.dir / SPARK_LOCAL_DIRS points
+    elsewhere, silently defeating the r10 disk-exhaustion mitigation).
+    Resolution mirrors Spark's Utils.getConfiguredLocalDirs precedence in
+    local mode: SPARK_LOCAL_DIRS env > spark.local.dir conf > /tmp
+    (java.io.tmpdir). Multi-dir values take the FIRST entry — one statvfs;
+    on a multi-disk layout the floor is approximate, and the measured path
+    is recorded in the protocol block so a consumer can tell."""
+    env = os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0].strip()
+    if env:
+        return env
+    try:
+        conf = spark.sparkContext.getConf().get("spark.local.dir", "/tmp")
+        return (conf or "/tmp").split(",")[0].strip() or "/tmp"
+    except Exception:
+        return "/tmp"
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    """Total on-disk bytes under sf_dir (the corpus the sweep reads)."""
+    total = 0
+    for root, _, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _free_mb(path: str) -> int:
+    st = os.statvfs(path)
+    return int(st.f_bavail * st.f_frsize / 1e6)
+
+
 def _task_attempts(spark) -> int:
     """Task-attempt count from the LIVE session's master string (ADVICE
     r8: re-reading the env at report time misrecords when get_spark was
@@ -259,7 +308,13 @@ def main() -> None:
     # space-separated value ("--recycle 10" puts 10 into the positionals
     # as a bogus threshold) silently misconfigures a multi-hour sweep —
     # fail fast instead.
-    KNOWN = {"--recycle", "--baseline", "--ratio-flag", "--disk-recycle-mb"}
+    KNOWN = {
+        "--recycle",
+        "--baseline",
+        "--ratio-flag",
+        "--disk-recycle-mb",
+        "--preflight-free-mb",
+    }
     flag_vals: dict[str, str] = {}
     pos: list[str] = []
     for a in sys.argv[1:]:
@@ -313,6 +368,39 @@ def main() -> None:
     from traderjoe_etl_spark.queries import queries
 
     spark = _fresh_session()
+
+    # Preflight free-disk floor (VERDICT r10 item 3): the r10 sf100 sweep
+    # burned 6,400 s before three queries died to spill-disk exhaustion —
+    # a box without the headroom must fail LOUDLY before the sweep starts,
+    # like the r6 stale-blockmgr rule. The required floor FOLLOWS THE DATA
+    # (same philosophy as corpus_width): the worst measured single-query
+    # spill is ~2.5x the corpus's on-disk bytes (sparse_shingle ~40 GB on
+    # the 16 GB sf100 dir), so default to 3x dir bytes. Override with
+    # --preflight-free-mb=N (0 disables — recorded in the protocol block).
+    spill_dir = _spill_dir(spark)
+    preflight_mb = int(
+        flag_vals.get("--preflight-free-mb", str(int(3 * _dir_bytes(sf_dir) / 1e6)))
+    )
+    try:
+        start_free_mb = _free_mb(spill_dir)
+    except OSError as exc:
+        sys.exit(f"preflight: cannot statvfs spill dir {spill_dir!r}: {exc}")
+    if preflight_mb and start_free_mb < preflight_mb:
+        sys.exit(
+            f"preflight: {start_free_mb} MB free on spill dir {spill_dir!r} "
+            f"< required {preflight_mb} MB (3x the {sf_dir} corpus unless "
+            f"--preflight-free-mb overrides) — the r10 sf100 sweep lost 3 "
+            f"queries to spill-disk exhaustion; refusing to start. Free "
+            f"space or pass --preflight-free-mb=0 to accept the risk."
+        )
+    if disk_recycle_mb and start_free_mb <= disk_recycle_mb:
+        sys.exit(
+            f"preflight: --disk-recycle-mb={disk_recycle_mb} is at/above the "
+            f"spill dir's current free space ({start_free_mb} MB on "
+            f"{spill_dir!r}) — a fresh session can never rise above the "
+            f"floor, so the sweep would recycle before every query."
+        )
+
     qs = queries()
     if only:
         unknown = only - set(qs)
@@ -358,13 +446,12 @@ def main() -> None:
         print(f"... {name}", file=sys.stderr, flush=True)  # hang forensics
         try:
             # Shuffle-spill headroom forensics (r10: THREE in-sweep context
-            # deaths traced to /tmp exhaustion — sparse_shingle alone spills
-            # ~40 GB and a 10-query session accumulates prior queries'
+            # deaths traced to spill-dir exhaustion — sparse_shingle alone
+            # spills ~40 GB and a 10-query session accumulates prior queries'
             # shuffle files until context stop; the box has only ~53 GB
             # effective headroom). Record the floor so a death's disk state
             # is attributable from the artifact alone.
-            st = os.statvfs("/tmp")
-            free_mb = int(st.f_bavail * st.f_frsize / 1e6)
+            free_mb = _free_mb(spill_dir)
             disk_floor_mb[name] = free_mb
             if disk_recycle_mb and free_mb < disk_recycle_mb:
                 print(
@@ -471,6 +558,12 @@ def main() -> None:
             # disk-pressure recycles, so timings are only comparable to
             # baselines with the same value.
             "disk_recycle_mb": disk_recycle_mb,
+            # the filesystem all disk floors measured (resolved from
+            # SPARK_LOCAL_DIRS / spark.local.dir — ADVICE r10) + the
+            # preflight gate this run passed (0 = explicitly disabled).
+            "spill_dir": spill_dir,
+            "preflight_free_mb": preflight_mb,
+            "preflight_measured_free_mb": start_free_mb,
         },
         "over_threshold": {k: v for k, v in ordered.items() if v > threshold},
         "times": ordered,
