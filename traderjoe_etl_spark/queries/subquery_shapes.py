@@ -59,6 +59,13 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 # EXISTS → left semi join (Q4 shape)
 # ---------------------------------------------------------------------------
 
+# Same 2-GiB rationale as _Q21_MAPSIDE_CAP_BYTES below (both gates hedge a
+# lineitem-sized per-task memory structure against the fixed shared heap, and
+# both have sf10 = 1.0 GB as their largest measured-safe small-scale input):
+# below it the SQL EXISTS plan's session-width semi-join sort is comfortable;
+# above it the sort runs at corpus_width (r10 in-sweep sort-task heap OOM).
+_Q4_SQL_CAP_BYTES = 2 << 30
+
 
 @query(
     "exists_priority_counts_q4",
@@ -73,22 +80,60 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """,
 )
 def exists_priority_counts_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS, expressed as actual SQL so Catalyst
-    decorrelates it. The plan is scan(orders, date pushdown) ⋈semi
-    scan(lineitem, returnflag pushdown) on orderkey → partial+final count.
-    The semi join shuffles only the two filtered key columns — at 100 TB the
-    exchange carries orderkeys, not rows."""
-    _views(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders o
-        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-          AND EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-        GROUP BY o_orderpriority
-        """
+    """TPC-H Q4 shape: correlated EXISTS. Two size-gated branches (the q21
+    discipline — don't pay a small-scale regression blindly, don't trust a
+    fresh-pass-only margin at scale):
+
+    - BELOW ``_Q4_SQL_CAP_BYTES`` (lineitem ≤ 2 GiB on disk): actual SQL so
+      Catalyst decorrelates it — the plan is scan(orders, date pushdown)
+      ⋈semi scan(lineitem, returnflag pushdown) on orderkey at the session
+      shuffle width → partial+final count. Proves the SQL subquery surface
+      and is the measured small-scale form (sf10 fresh 2.8 s, AUDIT_r10).
+    - AT SCALE (or unknown bytes — conservative branch): the same semi join,
+      manually decorrelated so the SMJ runs at ``corpus_width``-bounded
+      tasks. The SQL form's semi-join sort put ~600M filtered lineitem rows
+      through 84 post-AQE sort partitions at sf100 and one sort task threw a
+      genuine heap-space OOM in the r10 in-sweep run (AUDIT_SF100_r10 —
+      passed fresh at 30.0 s: the exact marginal-not-safe signature q21 had
+      in r8). The 'R' keys repartition on l_orderkey at corpus_width
+      (selectivity 0.25 — the R-slice) and reduce-side dropDuplicates (the
+      q16 pattern; (order ~4:1 lines, ~1 R-line — near-unique, so the
+      distinct must NOT run map-side), which bounds every sort task to
+      ~150k keys and halves the join's probe volume; orders co-partitions at
+      the same width. The exchange still carries orderkeys, not rows.
+    """
+    from ..sources.tables import corpus_width, table_bytes
+
+    li_bytes = table_bytes(sf_dir, "lineitem")
+    if li_bytes != 0 and li_bytes <= _Q4_SQL_CAP_BYTES:
+        _views(spark, sf_dir, "orders", "lineitem")
+        return spark.sql(
+            """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            """
+        )
+    li = _t(spark, sf_dir, "lineitem")
+    w = corpus_width(sf_dir, "lineitem", selectivity=0.25)
+    r_keys = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .repartition(w, "l_orderkey")
+        .dropDuplicates(["l_orderkey"])
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        orders.join(r_keys, orders.o_orderkey == r_keys.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
 
@@ -247,10 +292,14 @@ def having_in_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on-disk lineitem size the map-side partial agg's near-input-share hash maps
 # fit comfortably (sf10 = 1.0 GB, measured 16.9 s map-side vs 28.1 s forced
 # reduce-side); above it they are the r9 heap-OOM class (sf100 = 10.8 GB).
-# 4 GiB splits the two measured points with >=2.7x margin on each side; the
-# hazard scales with input bytes vs the fixed shared heap, like
-# retrieval._SPARSE_PIN_BYTES.
-_Q21_MAPSIDE_CAP_BYTES = 4 << 30
+# 2 GiB = 2x the largest measured-SAFE input, so the margin is symmetric to
+# MEASUREMENTS on both sides (ADVICE r10: the earlier 4 GiB cap was margined
+# against the measured FAILURE point, which let a 2-4 GiB input run the
+# hazardous map-side branch in unmeasured territory; a ~sf20-sf40 corpus now
+# takes the reduce-side branch, whose only cost is the measured ~1.7x
+# small-scale slowdown, never an OOM). The hazard scales with input bytes vs
+# the fixed shared heap, like retrieval._SPARSE_PIN_BYTES.
+_Q21_MAPSIDE_CAP_BYTES = 2 << 30
 
 
 @query(
