@@ -326,7 +326,8 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
     anything fact-sized:
 
     1. level-1 aggregate to (orderkey, suppkey, r_lines). PAST a byte gate
-       (lineitem > 4 GiB on disk) it runs REDUCE-SIDE behind an explicit
+       (lineitem > ``_Q21_MAPSIDE_CAP_BYTES`` = 2 GiB on disk) it runs
+       REDUCE-SIDE behind an explicit
        orderkey repartition at corpus-scaled width (the Q16/pagerank
        pattern, 4th consumer): (orderkey, suppkey) barely deduplicates
        (~1.3 lines per pair), so a map-side partial agg grows a
@@ -344,9 +345,10 @@ def exists_sole_blame_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFra
        the pair-key exchange win; the docstring's earlier claim that the
        repartition "IS the aggregate's own exchange" at small SF was
        wrong in measurement (the narrow forced width and lost combine
-       cost ~11 s). Gate margin ≥2.7× on both sides: sf10 lineitem
-       1.0 GB < 4 GiB < 10.8 GB sf100; unknown table bytes (0) take the
-       conservative at-scale branch;
+       cost ~11 s). The 2 GiB cap is 2× the largest measured-SAFE
+       map-side input (sf10's 1.0 GB) — margined to measurements, not to
+       the r9 failure point (see the constant's comment; ADVICE r10);
+       unknown table bytes (0) take the conservative at-scale branch;
     2. per-order supplier counts (n_supp, n_r_supp) as WINDOW aggregates
        over the level-1 rows — reuses the orderkey partitioning, no second
        fact shuffle and no Expand (an earlier form used two countDistinct
