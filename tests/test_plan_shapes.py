@@ -826,3 +826,91 @@ def test_partial_agg_hazard_sees_subquery_plans(spark):
         """
     )
     assert [b for b in partial_agg_hazards(vocab) if "subquery" in b] == []
+
+
+def test_sparse_shingle_single_canonical_postings_exchange(spark, qs):
+    """r11 rewrite pin: every shuffle exchange feeding the sparse-cosine
+    postings pipeline must be CANONICALLY IDENTICAL (hashpartitioning on
+    sk alone over the same explode subtree) — the precondition for AQE's
+    shuffle-stage reuse to materialize the tokenize→explode→hash pass
+    exactly once per execution. The pre-r11 shape keyed the weights
+    branch on (doc_id, sk) and the df branch on a post-agg (sk) with
+    diverging pruned projections, so no two copies were canonical and
+    the explode ran per branch (sf0.1: 3.35 s vs 1.13 s rewritten)."""
+    from traderjoe_etl_spark.plans.audit import _kids
+
+    df = qs["sparse_shingle_cosine_pairs"](spark, SF)
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        # AQE wraps the whole plan in a childless adaptive node; the
+        # EnsureRequirements-prepared tree (exchanges inserted) is its
+        # initialPlan
+        root = root.initialPlan()
+
+    def walk(n):
+        yield n
+        for k in _kids(n):
+            yield from walk(k)
+
+    def subtree_has(n, cls_fragment):
+        return any(cls_fragment in m.getClass().getSimpleName() for m in walk(n))
+
+    def is_exchange(n):
+        return n.getClass().getSimpleName() == "ShuffleExchangeExec"
+
+    # bottom-most shuffles only: the exchanges whose subtree holds the
+    # explode (Generate) and no further shuffle below — i.e. the postings
+    # repartition itself, not the aggregations stacked above it
+    postings_exchanges = [
+        n
+        for n in walk(root)
+        if is_exchange(n)
+        and subtree_has(n, "Generate")
+        and not any(is_exchange(m) for m in walk(n) if m is not n)
+    ]
+    assert postings_exchanges, "postings pipeline must shuffle (repartition by sk)"
+    hashes = {n.canonicalized().semanticHash() for n in postings_exchanges}
+    # exactly 2 canonical forms: the sh-side copies additionally carry an
+    # optimizer-inferred isnotnull(doc_id) (doc_id is join-key downstream;
+    # the df-side copies never expose doc_id so no constraint lands on
+    # them) — the parquet schema declares doc_id nullable, and filtering
+    # nulls out of the df counts would change the semantics on a
+    # null-keyed corpus, so the split is accepted. Pre-r11 every copy was
+    # its own canonical form (8) and the explode ran per branch.
+    assert len(hashes) <= 2, (
+        f"{len(postings_exchanges)} postings exchanges collapse to "
+        f"{len(hashes)} canonical forms — AQE stage reuse broken"
+    )
+    # and the shared exchange is keyed by sk ALONE (subset-satisfies rule
+    # lets groupBy(doc_id, sk), groupBy(sk), and both joins reuse it)
+    args = postings_exchanges[0].toString().splitlines()[0]
+    assert "hashpartitioning(sk#" in args.replace(" ", "") or "hashpartitioning(sk" in args, args
+    # the postings stream must never be broadcast DIRECTLY (no shuffle in
+    # between): that would re-run the explode as a broadcast build per
+    # occurrence. Broadcasts that merely sit above the reused postings
+    # shuffle (e.g. the tiny norm attaches) are fine — their build reads
+    # the materialized shuffle, not the raw scan.
+    bad_broadcasts = [
+        n
+        for n in walk(root)
+        if "BroadcastExchange" in n.getClass().getSimpleName()
+        and subtree_has(n, "Generate")
+        and not any(is_exchange(m) for m in walk(n))
+    ]
+    assert not bad_broadcasts, "postings subtree must not be broadcast un-shuffled"
+
+
+def test_multi_touch_attribution_is_joinless_single_sort_pipeline(spark, qs):
+    """r11 rewrite pin: the conversion value rides the (user, epoch)
+    window (each purchase closes its own epoch, so the group holds at
+    most one qualifying purchase) — the plan must be one linear pass:
+    no join operator of any kind, one scan of events, and at most three
+    exchanges (user_id window hash + 3-row final agg + output sort).
+    HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    epoch), so the second window adds a sort but never an exchange."""
+    f = plan_facts(qs["multi_touch_attribution"](spark, SF))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in f.text, f"unexpected {join_op} in plan"
+    assert len(f.scans) == 1, "events must be scanned exactly once"
+    assert f.n_exchanges <= 3

@@ -1,0 +1,50 @@
+"""Dump .explain('formatted') for named queries to plans/<tag>/<q>_<suffix>.txt.
+
+Usage: python tools/dump_plans.py <suffix> [query ...]
+With no query names, dumps the bench HEADLINE set. Plans are captured at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with the same tiny-input
+confs bench.py uses at sf<=0.5, so plan files match what the bench times.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from traderjoe_etl_spark.queries import queries
+    from traderjoe_etl_spark.session import get_spark
+
+    import bench
+
+    spark = get_spark("dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
+    qs = queries()
+    if not names:
+        names = [n for n in bench.HEADLINE if n in qs]
+    out_dir = os.path.join(REPO, "plans", "r11")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"{name}: {plan.count('Exchange')} Exchange, "
+              f"{plan.count('ReusedExchange')} Reused -> {path}")
+
+
+if __name__ == "__main__":
+    main()

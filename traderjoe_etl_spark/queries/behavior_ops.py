@@ -508,12 +508,24 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum exactly to the conversion value and both engines replay the same
     splits (complements attribution_last_touch).
 
-    Scale shape: the conversion-epoch assignment is one per-user running
-    count window (bounded by a user's events — the natural key); touch
-    positions are windows over (user, epoch) — strictly smaller; the
-    credit expression is map-only CASE arithmetic and the rollup is a
-    map-combinable per-type sum.  The conv⋈touches join is an equi-join on
-    (user, epoch) — AQE-splittable, nothing corpus-scale is broadcast."""
+    Scale shape (r11 single-partitioning rewrite, optimization guide
+    §2.4 — two operations keyed the same way share one exchange): the
+    conversion-epoch assignment is one per-user running count window;
+    the touch position/count AND the epoch's conversion value are then
+    further windows over (user, epoch) computed IN THE SAME pipeline —
+    HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    epoch), so they add only a within-partition sort, no exchange. The
+    conversion value rides along as max(cents of the epoch's qualifying
+    purchase) over the (user, epoch) group — each purchase closes its
+    own epoch, so the group holds at most one purchase and the window
+    max IS the old conv relation's value; touches in epochs with no
+    qualifying purchase see NULL and are filtered, exactly like the
+    pre-r11 inner join. This removes the join, its two hash exchanges,
+    and the second evaluation of the events→epoch-window subtree
+    (measured sf0.1 min-of-4: 1.09 → 0.68 s; plan: 5 Exchanges → 2, the
+    user_id window exchange + the 3-row final-agg exchange). The credit
+    expression stays map-only CASE arithmetic and the rollup a
+    map-combinable per-type sum."""
     ev = _t(spark, sf_dir, "events")
     w_epoch = (
         Window.partitionBy("user_id")
@@ -533,20 +545,25 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("epoch"),
     )
-    conv = ordered.filter(
-        (F.col("event_type") == "purchase") & (F.col("cents") >= 0)
-    ).select("user_id", "epoch", F.col("cents").alias("conv_cents"))
-    w_pos = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
+    is_touch = F.col("event_type").isin("view", "click", "signup")
     w_grp = Window.partitionBy("user_id", "epoch")
-    touches = ordered.filter(
-        F.col("event_type").isin("view", "click", "signup")
-    ).select(
-        "user_id",
-        "epoch",
-        "event_type",
-        F.row_number().over(w_pos).alias("pos"),
-        F.count(F.lit(1)).over(w_grp).alias("n"),
+    w_run = w_grp.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    both = ordered.select(
+        "event_type",
+        # pos: running count of touches == row_number among the touch
+        # rows once filtered to them (same (ts, event_id) total order)
+        F.sum(F.when(is_touch, 1).otherwise(0)).over(w_run).alias("pos"),
+        F.sum(F.when(is_touch, 1).otherwise(0)).over(w_grp).alias("n"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("cents") >= 0),
+                F.col("cents"),
+            )
+        ).over(w_grp).alias("conv_cents"),
+    )
+    touches = both.filter(is_touch & F.col("conv_cents").isNotNull())
     # integral division via `div` (pure long arithmetic, no FP round-trip);
     # equal to the oracle's // on the pinned non-negative domain
     c, n, pos = F.col("conv_cents"), F.col("n"), F.col("pos")
@@ -560,9 +577,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pos == n, forty)
         .otherwise(mid_each)
     )
-    credited = touches.join(conv, ["user_id", "epoch"]).select(
-        "event_type", credit.alias("credit")
-    )
+    credited = touches.select("event_type", credit.alias("credit"))
     return (
         credited.groupBy("event_type")
         .agg(

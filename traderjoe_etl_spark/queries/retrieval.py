@@ -748,85 +748,81 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast planner at sf10; this form is one bounded hash join). The
     join streams pairs row-by-row (no per-bucket arrays), partial
     aggregation reduces to one row per colliding pair, and norms are one
-    map-combinable pass over the capped postings. Joins are pinned
-    sort-merge AT SCALE ONLY (documents > _SPARSE_PIN_BYTES on disk, or
-    size unknown): there the exploded postings sides defeat AQE's size
-    estimates and none is broadcastable; below the gate the pins and
-    explicit repartitions are skipped so AQE's broadcast plan runs —
-    they cost ~1.5 s of pure scheduling on 5k-doc inputs.
+    pass over the capped postings.
+
+    r11 single-exchange rewrite (optimization guide §2.4 — remove
+    shuffles outright): the RAW postings are repartitioned by sk ONCE,
+    directly after the explode, and every downstream operator is keyed so
+    HashPartitioning(sk) satisfies its required distribution — groupBy
+    (doc_id, sk) (sk ⊆ keys), the df = groupBy(sk) reduction, the sh⋈df
+    attach, and the w⋈w pair join all run WITHOUT further exchanges. The
+    STATIC plan still duplicates the postings subtree per branch (Spark
+    does not CSE), but now every copy bottoms out in the byte-identical
+    ``Exchange hashpartitioning(sk)`` over the same Generate pipeline, so
+    AQE's shuffle-stage reuse materializes the tokenize→explode→hash
+    shuffle exactly once at runtime; the pre-r11 shape hung the df branch
+    and the weights branch off DIFFERENT exchanges — (doc_id, sk) vs a
+    post-agg (sk) with diverging pruned projections — so no copy was
+    canonical with any other and the explode pipeline re-ran per branch
+    (up to 8× per execution, ~10 broadcast/shuffle jobs of scheduling).
+    Measured sf0.1 (min-of-4, one box): 3.35 s → 1.13 s. Joins are pinned
+    sort-merge UNCONDITIONALLY now: with both sides clustered by sk the
+    merge adds no exchange (just the two in-partition sorts), while an
+    AQE broadcast of df / the b-side would re-materialize that subtree
+    as a separate broadcast job per occurrence.
 
     Two further sf100 lessons baked in: (1) carrying the shingle STRING
     through the shuffles put ~30-char keys in every sort row — 32
     concurrent sort-merge tasks exhausted the execution-memory pool
     (UNABLE_TO_ACQUIRE_MEMORY at 64 KB granularity); the 8-byte hashed
-    key shrinks every exchanged row ~4×. (2) The postings self-join is
-    explicitly repartitioned on the key with a CORPUS-SCALED width
-    (one partition per ~2k docs, 32..1024): at 160 GB the session's 32
-    shuffle partitions give ~8M-posting sort tasks and 32 of those
-    sorting concurrently in one stage thrash the pool, while a blanket
-    256-way tripled the sf0.1 bench time in scheduling overhead — the
-    width must follow the data. At or below the session default the
-    repartition doubles as the join's own exchange (same key), so small
-    corpora pay nothing."""
+    key shrinks every exchanged row ~4×. (2) The single postings exchange
+    keeps the CORPUS-SCALED width (one partition per ~1 MB of documents,
+    32..1024): at 160 GB the session's 32 shuffle partitions give
+    ~8M-posting sort tasks and 32 of those sorting concurrently in one
+    stage thrash the pool, while a blanket 256-way tripled the sf0.1
+    bench time in scheduling overhead — the width must follow the data.
+    Below _SPARSE_PIN_BYTES the repartition takes the session width (the
+    exchange is the plan's one required shuffle anyway; a forced 32-way
+    would only add task dispatch at 5k-doc scale)."""
     docs = _t(spark, sf_dir, "documents")
-    # join width scales with the corpus via a FILESYSTEM stat (no Spark
-    # job — the plan stays fully lazy, preserving bench headline
-    # eligibility; an eager docs.count() at build was hidden work the
-    # prepared-statement timer never saw): 32-way is fine to ~100k docs
-    # but 32 concurrent ~8M-posting sort tasks exhaust the
-    # execution-memory pool at 5M docs; one partition per ~1 MB of raw
-    # documents keeps each concurrent sort bounded. At or below the
-    # session default the repartition IS the join's required exchange
-    # (same key), so small corpora pay nothing extra.
+    # postings-exchange width scales with the corpus via a FILESYSTEM
+    # stat (no Spark job — the plan stays fully lazy, preserving bench
+    # headline eligibility; an eager docs.count() at build was hidden
+    # work the prepared-statement timer never saw): 32-way is fine to
+    # ~100k docs but 32 concurrent ~8M-posting sort tasks exhaust the
+    # execution-memory pool at 5M docs.
     from ..sources.tables import corpus_width, table_bytes
 
     doc_bytes = table_bytes(sf_dir, "documents")
-    # SIZE-GATED physical strategy: the sort-merge pins and explicit
-    # repartitions only engage at scale (or when the stat is unknown —
-    # conservative default); at bench scale AQE's broadcast plan is
-    # correct and ~1.5 s cheaper in pure scheduling.
     at_scale = doc_bytes == 0 or doc_bytes > _SPARSE_PIN_BYTES
     join_parts = corpus_width(sf_dir, "documents", bytes_per_part=1 << 20)
-
-    def _pin(side: DataFrame) -> DataFrame:
-        return side.hint("merge") if at_scale else side
-
-    def _repart(rel: DataFrame, *keys: str) -> DataFrame:
-        return rel.repartition(join_parts, *keys) if at_scale else rel
 
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= 3)
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2),"
-                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
-                    "             ' ', element_at(w, i + 2)))"
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", F.xxhash64("s").alias("sk"))
-        # at scale, pre-partition on the EXACT group key before
-        # aggregating: the default map-side partial agg holds a per-task
-        # hash map over ~8M exploded postings at sf100, falls back to
-        # sort-based spill, and the two concurrent evaluations of this
-        # subtree (df branch + weights branch — Spark does not CSE them)
-        # race each other out of the execution-memory pool. The exchange
-        # satisfies the groupBy's required distribution, so the agg
-        # runs reduce-side in join_parts small tasks instead; map-side
-        # combine loses nothing because shingles are mostly unique per
-        # document (tf ≈ 1).
-        .transform(lambda rel: _repart(rel, "doc_id", "sk"))
-        .groupBy("doc_id", "sk")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    posts = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                "             ' ', element_at(w, i + 2)))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("sk"))
+    # THE one exchange: everything below is clustered by sk. Map-side
+    # combine before it would buy nothing (shingles are mostly unique
+    # per document, tf ≈ 1), and aggregating reduce-side in
+    # corpus-scaled tasks is what kept sf100 out of
+    # UNABLE_TO_ACQUIRE_MEMORY.
+    posts = (
+        posts.repartition(join_parts, "sk") if at_scale else posts.repartition("sk")
     )
+    sh = posts.groupBy("doc_id", "sk").agg(F.count(F.lit(1)).alias("tf"))
     df = sh.groupBy("sk").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
-        sh.join(_pin(df), "sk")
+        sh.join(df.hint("merge"), "sk")
         .filter(F.col("df") <= _SPARSE_DF_CAP)
         .join(F.broadcast(n))
         .select(
@@ -839,10 +835,9 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
-    wr = _repart(w, "sk")
     dot = (
-        wr.alias("a")
-        .join(_pin(wr.alias("b")), "sk")
+        w.alias("a")
+        .join(w.alias("b").hint("merge"), "sk")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -856,9 +851,12 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reassociation differs across engines, so a pair within an ulp of
     # 0.4 raw could otherwise appear in one engine's output only — the
     # rounding puts the filter and the emitted value on one grid.
+    # the two norm attaches stay unpinned: nrm is |docs|-scale (doc_id,
+    # nm) — tiny next to the pair stream — and both copies bottom out in
+    # the same norms-agg exchange, so AQE builds it once either way.
     return (
-        dot.join(_pin(na), "id_a")
-        .join(_pin(nb), "id_b")
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
         .filter(F.round(cos, 6) >= _SPARSE_COS_T)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
