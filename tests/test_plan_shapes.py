@@ -914,3 +914,22 @@ def test_multi_touch_attribution_is_joinless_single_sort_pipeline(spark, qs):
         assert join_op not in f.text, f"unexpected {join_op} in plan"
     assert len(f.scans) == 1, "events must be scanned exactly once"
     assert f.n_exchanges <= 3
+
+
+def test_q16_heavy_exchange_carries_hashed_bts_key(spark, qs):
+    """r11 narrow-key pin: q16's corpus-width distinct exchange must carry
+    the 8-byte xxhash64(brand, type, size) surrogate + l_suppkey — two
+    longs — never the three attribute strings (~45 B/row; string sort
+    keys are what thrashed the execution pool in the sf100 post-mortems).
+    The strings may only appear in the tiny post-aggregation dim
+    exchange (7k rows)."""
+    import re
+
+    f = plan_facts(qs["notin_supplier_variety_q16"](spark, SF))
+    reparts = re.findall(r"hashpartitioning\(([^)]*)\), REPARTITION_BY_NUM", f.text)
+    assert reparts, "corpus-width repartition missing from the plan"
+    for args in reparts:
+        assert "p_brand" not in args and "p_type" not in args, (
+            f"attribute strings leaked into the heavy exchange: {args}"
+        )
+        assert "bk#" in args and "l_suppkey#" in args, args

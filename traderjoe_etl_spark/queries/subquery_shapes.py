@@ -161,19 +161,35 @@ def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distinct-count runs REDUCE-SIDE over a corpus-scaled key
     repartition instead of SQL count(DISTINCT): the (brand, type, size,
-    suppkey) key barely deduplicates (each (b,t,s) combo spans hundreds of
-    parts, so distinct pairs ≈ filtered row count), which makes map-side
-    partial aggregation a pure loss — at sf100 each of 32 concurrent scan
-    tasks grew a ~19M-entry string-keyed hash map inside
+    suppkey) key barely deduplicates (measured 1.06:1 at sf0.1/sf10 —
+    distinct combos ≈ filtered row count), which makes map-side partial
+    aggregation a pure loss — at sf100 each of 32 concurrent scan tasks
+    grew a ~19M-entry string-keyed hash map inside
     hashAgg_doAggregateWithKeys and heap-OOM'd the JVM before spill could
     engage (caught by the r7 full-registry audit; the sparse_shingle
     lesson — 'map-side combine loses nothing when keys are mostly unique —
     pre-partition on the exact key' — applied to a relational shape). At or
     below the session default width the repartition IS the distinct's own
-    exchange, so small corpora pay nothing."""
+    exchange, so small corpora pay nothing.
+
+    r11 narrow-key rewrite (optimization guide §2.3 — shuffle fewer
+    bytes): (brand, type, size) is functionally determined by p_partkey,
+    so the heavy distinct exchange now carries ``bk =
+    xxhash64(p_brand, p_type, p_size)`` — one 8-byte long — instead of
+    the three attribute strings (~45 B/row → 16 B/row across the
+    corpus-width exchange AND its per-task sorts; string sort keys are
+    what thrashed the execution pool in the sparse_shingle sf100
+    post-mortem). Grouping by the hash equals grouping by the strings
+    unless two of the ~7k observed (b,t,s) combos collide in 64 bits
+    (P ≈ 7k²/2^65 ≈ 1e-12 — the sparse_shingle/distinct_ngram
+    portability rule; the hash never reaches the output). The attribute
+    strings are restored by joining the 7k-row distinct (b,t,s, bk) dim
+    AFTER the per-group count — an aggregated (reducing-node) relation
+    the planner broadcasts from stats, never a pinned base-table dim."""
     from ..sources.tables import corpus_width
 
     _views(spark, sf_dir, "lineitem", "part", "supplier")
+    bk = F.xxhash64("p_brand", "p_type", "p_size")
     filtered = spark.sql(
         """
         SELECT p_brand, p_type, p_size, l_suppkey
@@ -181,13 +197,21 @@ def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_brand <> 'Brand#1'
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         """
-    )
+    ).select(bk.alias("bk"), "l_suppkey")
     w = corpus_width(sf_dir, "lineitem")
-    pairs = filtered.repartition(
-        w, "p_brand", "p_type", "p_size", "l_suppkey"
-    ).dropDuplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
-    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
-        F.count("l_suppkey").alias("supplier_cnt")
+    pairs = filtered.repartition(w, "bk", "l_suppkey").dropDuplicates(
+        ["bk", "l_suppkey"]
+    )
+    counts = pairs.groupBy("bk").agg(F.count("l_suppkey").alias("supplier_cnt"))
+    btsdim = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_brand", "p_type", "p_size")
+        .distinct()
+        .select("p_brand", "p_type", "p_size", bk.alias("bk"))
+    )
+    return counts.join(btsdim, "bk").select(
+        "p_brand", "p_type", "p_size", "supplier_cnt"
     )
 
 
