@@ -760,7 +760,10 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not CSE), but now every copy bottoms out in the byte-identical
     ``Exchange hashpartitioning(sk)`` over the same Generate pipeline, so
     AQE's shuffle-stage reuse materializes the tokenize→explode→hash
-    shuffle exactly once at runtime; the pre-r11 shape hung the df branch
+    shuffle AT MOST TWICE at runtime (two canonical forms survive — the
+    sh-side copies carry an optimizer-inferred isnotnull(doc_id) the
+    df-side copies can't; see the plan-shape pin test); the pre-r11
+    shape hung the df branch
     and the weights branch off DIFFERENT exchanges — (doc_id, sk) vs a
     post-agg (sk) with diverging pruned projections — so no copy was
     canonical with any other and the explode pipeline re-ran per branch

@@ -189,7 +189,19 @@ def notin_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import corpus_width
 
     _views(spark, sf_dir, "lineitem", "part", "supplier")
-    bk = F.xxhash64("p_brand", "p_type", "p_size")
+    # the 4th hash input is the NULL-pattern bitmask: xxhash64 SKIPS null
+    # columns (the hash state is unchanged), so without it the distinct
+    # null patterns ('B', NULL, 5) and (NULL, 'B', 5) would merge into
+    # one bk deterministically — a different class from the documented
+    # random 64-bit collision. Attributes are non-null in this corpus
+    # (bk values change, outputs don't), but the surrogate must not be
+    # wrong-by-construction on a null-keyed one.
+    null_mask = (
+        F.col("p_brand").isNull().cast("int") * 4
+        + F.col("p_type").isNull().cast("int") * 2
+        + F.col("p_size").isNull().cast("int")
+    )
+    bk = F.xxhash64("p_brand", "p_type", "p_size", null_mask)
     filtered = spark.sql(
         """
         SELECT p_brand, p_type, p_size, l_suppkey
