@@ -3,8 +3,9 @@
 Times each headline query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, "duckdb_total": sec,
-   "spark_comparable_total": sec, "ratio": r,
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "cpus": "$SPARK_GRAFT_CPUS", "default_parallelism": n,
+   "duckdb_total": sec, "spark_comparable_total": sec, "ratio": r,
    "sf1_total": sec, "sf1_duckdb_total": sec, "sf1_ratio": r}
 The per-query DuckDB twin tables and the full sf1 scale section are
 written to BENCH_full.json beside this script (the round driver captures
@@ -116,73 +117,64 @@ def _duck_conn(sf_dir: str):
     return con
 
 
-def _bench_dir(spark, qs, osql, sf_dir: str, *, shuffle_partitions: int | None = None) -> dict:
-    prev = prev_oc = None
-    if shuffle_partitions is not None:
-        # tiny-input sizing: at sub-GB scale 32 reducers per stage are pure
-        # task-dispatch overhead; AQE would coalesce them anyway but a small
-        # initial count skips the coalesce round entirely. Likewise a 1 MB
-        # file-open cost splits a 10 MB table into ~10 scan tasks whose
-        # dispatch dwarfs their work — 8 MB keeps tiny scans at 1-2 tasks.
-        # The sf1 section keeps the session defaults (defaultParallelism /
-        # 1 MB), which are sized for CPU-bound multi-MB scans.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        spark.conf.set("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
-
-    # try/finally: a failing query must not leak the tiny-input confs into
-    # the caller's next section (the sf1 scale numbers would silently run
-    # with 8 reducers — ADVICE r03)
-    try:
-        spark_t: dict[str, float] = {}
-        for name in HEADLINE:
-            if name not in qs:
-                continue
-            # Prepared-statement protocol (VERDICT r02 sanctioned plan reuse —
-            # DuckDB's twins reuse a parsed statement the same way): build the
-            # DataFrame ONCE per (query, sf_dir), run it once to warm (JIT,
-            # codegen cache, file-system cache), then time re-executions of the
-            # SAME plan and keep the fastest of two (same variance floor as the
-            # DuckDB side below). The noop write re-runs the full physical plan
-            # — scan/shuffle/agg — every time; nothing is result-cached between
-            # runs. What the protocol excludes is py4j plan CONSTRUCTION, a
-            # per-process constant that vanishes in any workload where a plan
-            # runs more than once.
-            df = qs[name](spark, sf_dir)
+def _bench_dir(spark, qs, osql, sf_dir: str) -> dict:
+    # r12 measurement-bug fix (VERDICT r11 scaling-probe item): the old
+    # sf<=0.5 "tiny-input sizing" block (8 shuffle partitions / 8 MB open
+    # cost) was PROVABLY INERT — every query build calls
+    # session.apply_runtime_confs, which in local mode resets
+    # shuffle.partitions to defaultParallelism and openCostInBytes to 1 MB
+    # before any plan is constructed (verified: conf read back 32/1048576
+    # after building a query with the pin set; committed sf0.1 plans show
+    # hashpartitioning(..., 32)). Removing the dead block changes NO timed
+    # behavior — every recorded bench ran at defaultParallelism reducers —
+    # it only removes the false "reduce width pinned to 8" reading that
+    # made the driver's low-core probe look core-insensitive. Reduce width
+    # follows $SPARK_GRAFT_CPUS via defaultParallelism; the JSON line now
+    # echoes both (see main) so the probe is legible.
+    spark_t: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        # Prepared-statement protocol (VERDICT r02 sanctioned plan reuse —
+        # DuckDB's twins reuse a parsed statement the same way): build the
+        # DataFrame ONCE per (query, sf_dir), run it once to warm (JIT,
+        # codegen cache, file-system cache), then time re-executions of the
+        # SAME plan and keep the fastest of two (same variance floor as the
+        # DuckDB side below). The noop write re-runs the full physical plan
+        # — scan/shuffle/agg — every time; nothing is result-cached between
+        # runs. What the protocol excludes is py4j plan CONSTRUCTION, a
+        # per-process constant that vanishes in any workload where a plan
+        # runs more than once.
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            if best > 5.0:  # slow query: one timed run is representative
+                break
+        spark_t[name] = round(best, 3)
+        spark.catalog.clearCache()  # queries must not inherit earlier persists
+
+    duck_t: dict[str, float] = {}
+    try:
+        con = _duck_conn(sf_dir)
+        for name in HEADLINE:
+            if name in DUCKDB_SKIP or name not in osql:
+                continue
+            con.execute(osql[name]).fetchall()  # warm
             best = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                con.execute(osql[name]).fetchall()
                 best = min(best, time.perf_counter() - t0)
-                if best > 5.0:  # slow query: one timed run is representative
+                if best > 5.0:  # same early-out rule as the Spark side
                     break
-            spark_t[name] = round(best, 3)
-            spark.catalog.clearCache()  # queries must not inherit earlier persists
-
-        duck_t: dict[str, float] = {}
-        try:
-            con = _duck_conn(sf_dir)
-            for name in HEADLINE:
-                if name in DUCKDB_SKIP or name not in osql:
-                    continue
-                con.execute(osql[name]).fetchall()  # warm
-                best = float("inf")
-                for _ in range(4):
-                    t0 = time.perf_counter()
-                    con.execute(osql[name]).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                    if best > 5.0:  # same early-out rule as the Spark side
-                        break
-                duck_t[name] = round(best, 3)
-            con.close()
-        except Exception:
-            duck_t = {}
-    finally:
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-            spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+            duck_t[name] = round(best, 3)
+        con.close()
+    except Exception:
+        duck_t = {}
 
     comparable = [n for n in duck_t if n in spark_t]
     s_cmp = sum(spark_t[n] for n in comparable)
@@ -221,19 +213,30 @@ def main() -> None:
                 pass
     spark.catalog.clearCache()
 
-    primary = _bench_dir(spark, qs, osql, sf_dir, shuffle_partitions=8 if sf <= 0.5 else None)
+    primary = _bench_dir(spark, qs, osql, sf_dir)
 
     scale: dict[str, dict] = {}
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1")
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         scale["sf1"] = _bench_dir(spark, qs, osql, sf1_dir)
 
+    # Scaling-contract fields (VERDICT r11 item 2): echo the core count the
+    # bench actually ran with so a low-core probe is legible from the JSON
+    # line alone. defaultParallelism is what sizes reduce width in local
+    # mode (session.apply_runtime_confs), so cpus == default_parallelism
+    # proves $SPARK_GRAFT_CPUS reached the engine. The core-scaling signal
+    # lives in the sf1 section (sf0.1 queries sit at the ~100 ms local
+    # dispatch floor): r11 measured sf1_total 28.7 s at 8 cores vs 18.0 s
+    # at 32 (BENCH_r11_c8 vs BENCH_r11).
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
     out = {
         "metric": "headline_queries_total",
         "value": primary["total"],
         "unit": "sec",
         "queries": primary["queries"],
         "sf": sf,
+        "cpus": cpus_env,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "duckdb": primary["duckdb"],
         "duckdb_total": primary["duckdb_total"],
         "spark_comparable_total": primary["spark_comparable_total"],
@@ -257,6 +260,8 @@ def main() -> None:
         "unit": "sec",
         "queries": primary["queries"],
         "sf": sf,
+        "cpus": cpus_env,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "duckdb_total": primary["duckdb_total"],
         "spark_comparable_total": primary["spark_comparable_total"],
         "ratio": primary["ratio"],

@@ -870,14 +870,14 @@ def test_sparse_shingle_single_canonical_postings_exchange(spark, qs):
     ]
     assert postings_exchanges, "postings pipeline must shuffle (repartition by sk)"
     hashes = {n.canonicalized().semanticHash() for n in postings_exchanges}
-    # exactly 2 canonical forms: the sh-side copies additionally carry an
-    # optimizer-inferred isnotnull(doc_id) (doc_id is join-key downstream;
-    # the df-side copies never expose doc_id so no constraint lands on
-    # them) — the parquet schema declares doc_id nullable, and filtering
-    # nulls out of the df counts would change the semantics on a
-    # null-keyed corpus, so the split is accepted. Pre-r11 every copy was
-    # its own canonical form (8) and the explode ran per branch.
-    assert len(hashes) <= 2, (
+    # exactly ONE canonical form (r12): the explicit isnotnull(doc_id)
+    # filter ahead of the postings repartition puts the same constraint on
+    # every branch copy, so the sh-side (which used to carry an optimizer-
+    # inferred isnotnull) and the df-side copies are now byte-canonical and
+    # AQE materializes the explode shuffle once per execution. Pre-r12 two
+    # forms survived (double explode); pre-r11 every copy was its own form
+    # (8) and the explode ran per branch.
+    assert len(hashes) == 1, (
         f"{len(postings_exchanges)} postings exchanges collapse to "
         f"{len(hashes)} canonical forms — AQE stage reuse broken"
     )
@@ -926,9 +926,15 @@ def test_q16_heavy_exchange_carries_hashed_bts_key(spark, qs):
     import re
 
     f = plan_facts(qs["notin_supplier_variety_q16"](spark, SF))
-    reparts = re.findall(r"hashpartitioning\(([^)]*)\), REPARTITION_BY_NUM", f.text)
+    # non-greedy up to '), REPARTITION_BY_NUM' so a nested expression in
+    # the key list (e.g. an inlined xxhash64(...)) cannot truncate the
+    # capture and make the string-absence check pass vacuously (ADVICE r11)
+    reparts = re.findall(r"hashpartitioning\((.*?)\), REPARTITION_BY_NUM", f.text)
     assert reparts, "corpus-width repartition missing from the plan"
     for args in reparts:
+        # capture must end with the partition count — proves the full
+        # argument list was captured, not a paren-truncated prefix
+        assert re.search(r", \d+$", args), f"truncated capture: {args!r}"
         assert "p_brand" not in args and "p_type" not in args, (
             f"attribute strings leaked into the heavy exchange: {args}"
         )

@@ -2,15 +2,15 @@
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 With no query names, dumps the bench HEADLINE set. Plans are captured at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); bench.py's tiny-input
-confs (8 shuffle partitions / 8 MB open cost) are applied only when the
-dir's scale factor is <= 0.5, mirroring bench.py, so plan files match what
-the bench times at every SF. Output dir: $PLANS_OUT (default plans/r11).
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) under the same session
+confs the bench runs with (bench.py's old sf<=0.5 tiny-input pin was inert
+— apply_runtime_confs resets the confs during every query build — and was
+removed in r12, so no extra conf mirroring is needed here).
+Output dir: $PLANS_OUT (default plans/r12).
 """
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,8 +22,6 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
 
     from traderjoe_etl_spark.queries import queries
     from traderjoe_etl_spark.session import get_spark
@@ -32,13 +30,10 @@ def main() -> None:
 
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    if 0 <= sf <= 0.5:  # bench.py's tiny-input sizing, same gate
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
     qs = queries()
     if not names:
         names = [n for n in bench.HEADLINE if n in qs]
-    out_dir = os.environ.get("PLANS_OUT", os.path.join(REPO, "plans", "r11"))
+    out_dir = os.environ.get("PLANS_OUT", os.path.join(REPO, "plans", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

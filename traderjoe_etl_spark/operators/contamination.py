@@ -30,8 +30,8 @@ def tokens(text_col: str | Column) -> Column:
 
 
 def ngram_hashes(tokens_col: Column, n: int, hasher: str = "md5") -> Column:
-    """Hashes of the space-joined word n-grams of a pre-projected token
-    array. Documents shorter than ``n`` words contribute no n-grams (no
+    """Hashes of the word n-grams of a pre-projected token array.
+    Documents shorter than ``n`` words contribute no n-grams (no
     fallback — a short doc cannot be contaminated at this n). The token
     array MUST be a projected column: Generate does not CSE its child
     (see dedup._tokens).
@@ -40,7 +40,27 @@ def ngram_hashes(tokens_col: Column, n: int, hasher: str = "md5") -> Column:
     BigQuery compute the same digest, which is what makes the op oracle-
     checkable and lets a benchmark hash list be produced by any tool.
     ``"xxhash64"`` is the cheap JVM-native path for engine-internal runs
-    at corpus scale (the digest is Spark-specific)."""
+    at corpus scale (the digest is Spark-specific). ``"chained"`` (r12)
+    never builds the n-gram STRING at all: pass a pre-projected array of
+    TOKEN hashes (``transform(tokens, t -> xxhash64(t))``) instead of the
+    token array, and each n-gram hash combines the n consecutive token
+    hashes in one codegen'd xxhash64 — the concat+digest per position
+    (the measured floor of the string hashers) disappears and the
+    exploded stream carries 8-byte longs instead of 32-char digests.
+    Hash equality ⟺ n-gram string equality up to 64-bit collisions (the
+    repo's surrogate-key convention — the hash itself never reaches any
+    output)."""
+    if hasher == "chained":
+        # tokens_col here is the array of token HASHES (array<bigint>)
+        return F.when(
+            F.size(tokens_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(tokens_col, i + F.lit(j)) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
     hash_one = {
         "md5": lambda c: F.md5(c),
         "xxhash64": lambda c: F.xxhash64(c).cast("string"),
@@ -76,6 +96,12 @@ def contamination_report(
     filter then throws away)."""
     def explode_hashes(df: DataFrame) -> DataFrame:
         toks = df.select(id_col, tokens(text_col).alias("__toks"))
+        if hasher == "chained":
+            # hash each token once, chain windows over the hash array —
+            # no n-gram string, no digest (see ngram_hashes)
+            toks = toks.select(
+                id_col, F.transform("__toks", lambda t: F.xxhash64(t)).alias("__toks")
+            )
         return toks.select(
             id_col, F.explode(ngram_hashes(F.col("__toks"), n, hasher)).alias("__h")
         )

@@ -220,8 +220,15 @@ def minhash_band_entries(
     the shared building block of in-corpus candidate pairing
     (:func:`minhash_lsh_candidates`) and cross-run filtering
     (:func:`incremental_dedup`). ``bands`` rows per doc; the band hash is
-    murmur3 of the signature slice (default family) or md5 of the decimal
-    mins (portable family — any engine reproduces it)."""
+    murmur3 of the signature slice (default family — kept as its native
+    INT since r12: the value is only ever an equi-join/group key, and a
+    4-byte int in the band exchange and its sort keys replaces the old
+    ~11-char decimal string rendering of the SAME value, shuffling ~4x
+    fewer key bytes with identical collision behavior) or md5 of the
+    decimal mins (portable family — any engine reproduces it, stays
+    STRING). Persistent band stores keep the STRING schema — the store
+    writers cast at their boundary (:func:`incremental_dedup`,
+    streaming/crawl_dedup)."""
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(
         df, id_col, text_col, shingle_k, num_hashes, hash_family=hash_family
@@ -235,7 +242,7 @@ def minhash_band_entries(
             )
             return F.expr(f"md5(concat_ws(',', {cols}))")
         sl = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-        return F.hash(sl).cast("string")
+        return F.hash(sl)
 
     return with_sig.select(
         "__id",
@@ -288,7 +295,11 @@ def incremental_dedup(
     spark = new_docs.sparkSession
     entries = minhash_band_entries(
         new_docs, id_col, text_col, shingle_k, num_hashes, bands, hash_family
-    ).persist()
+    )
+    # The persistent store's schema is pinned to band_hash STRING (append-
+    # only across runs/engine versions); non-portable families carry the
+    # band hash as INT in-plan since r12, so normalize at this boundary.
+    entries = entries.withColumn("band_hash", F.col("band_hash").cast("string")).persist()
     try:
         # Narrow read-failure handling: only a missing path means "first
         # run"; corrupt/transient store errors must propagate, not
@@ -523,17 +534,37 @@ def ngram_jaccard_pairs(
     joining each side's distinct shingle set — only candidate pairs pay the
     set-intersection cost.
 
-    The shingle-set projection is the expensive part (k-word CONCAT per
-    position — the minhash floor), so docs are SEMI-JOINED to the
-    candidate-pair id set BEFORE it: verification cost scales with
-    |candidate docs|, not |corpus| (with a small candidate set AQE plans
-    the semi join as a broadcast — a map-side filter on the scan;
-    measured 19.5 → ~6 s at sf10 where ~1M docs held ~10³ candidates).
+    Shingle identity is the chained-xxhash64 family since r12 (the
+    distinct_ngram_diversity / minhash-"chained" construction): each token
+    hashes once, a k-window combines the k consecutive token HASHES, and a
+    short doc (< k tokens) folds its token hashes — so no shingle string is
+    ever materialized, the per-doc set is an array<long> instead of
+    array<string> (~4x fewer bytes through the two verify-join exchanges),
+    and array_intersect/union compare 8-byte longs. |distinct hashes| =
+    |distinct shingles| absent 64-bit collisions (P ≈ s²/2^65 per doc —
+    the repo's established surrogate-key convention; the hash never
+    reaches the output), so the jaccard VALUE is unchanged: measured
+    set-equal to the string form over 75,208 verified pairs at sf10, and
+    the brute-force string-based DuckDB oracles of every consumer
+    hash-pass. Short-vs-window equality semantics are preserved exactly:
+    as strings a (<k)-token shingle can never equal a k-token window (a
+    token cannot contain whitespace, so the space counts differ), and here
+    the two use different hash constructions, colliding only by 64-bit
+    accident.
+
+    The shingle-set projection is the expensive part, so docs are
+    SEMI-JOINED to the candidate-pair id set BEFORE it: verification cost
+    scales with |candidate docs|, not |corpus| (with a small candidate set
+    AQE plans the semi join as a broadcast — a map-side filter on the scan;
+    measured 19.5 → ~6 s at sf10 where ~1M docs held ~10³ candidates;
+    the r12 hashed sets then took the sf10 verify pass over 75k candidate
+    pairs from 4.6 to 1.8 s).
     No forced broadcast hint: a degenerate duplicate cluster makes the
     candidate id set corpus-sized, and F.broadcast() would override the
     size threshold and ship it to every task — AQE picks broadcast vs
     shuffle from the measured size instead. Results are identical —
     pairs only ever reference their own ids."""
+    k = shingle_k
     cand_ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
@@ -544,9 +575,21 @@ def ngram_jaccard_pairs(
         docs[id_col] == cand_ids["__id"],
         "left_semi",
     )
-    sh = pruned.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__w")).select(
+    # token hashes projected once (see _tokens / minhash chained family)
+    th = pruned.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__w")).select(
+        "__id", F.transform("__w", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    n = F.size(F.col("__th"))
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(*[F.element_at(F.col("__th"), i + F.lit(j)) for j in range(k)]),
+    )
+    short_doc = F.array(
+        F.aggregate(F.col("__th"), F.lit(0).cast("bigint"), lambda acc, h: F.xxhash64(acc, h))
+    )
+    sh = th.select(
         "__id",
-        F.array_distinct(_shingles_from_tokens(F.col("__w"), k=shingle_k)).alias("__sh"),
+        F.array_distinct(F.when(n >= k, window_hashes).otherwise(short_doc)).alias("__sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")

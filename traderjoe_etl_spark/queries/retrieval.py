@@ -760,9 +760,10 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not CSE), but now every copy bottoms out in the byte-identical
     ``Exchange hashpartitioning(sk)`` over the same Generate pipeline, so
     AQE's shuffle-stage reuse materializes the tokenize→explode→hash
-    shuffle AT MOST TWICE at runtime (two canonical forms survive — the
-    sh-side copies carry an optimizer-inferred isnotnull(doc_id) the
-    df-side copies can't; see the plan-shape pin test); the pre-r11
+    shuffle exactly ONCE at runtime (r12: the explicit isnotnull(doc_id)
+    filter below collapses what had been two canonical forms — sh-side
+    copies with an optimizer-inferred isnotnull vs df-side without — into
+    one; see the plan-shape pin test); the pre-r11
     shape hung the df branch
     and the weights branch off DIFFERENT exchanges — (doc_id, sk) vs a
     post-agg (sk) with diverging pruned projections — so no copy was
@@ -800,9 +801,23 @@ def sparse_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_scale = doc_bytes == 0 or doc_bytes > _SPARSE_PIN_BYTES
     join_parts = corpus_width(sf_dir, "documents", bytes_per_part=1 << 20)
 
+    # r12: doc_id is filtered non-null EXPLICITLY before the postings
+    # exchange. Without this, the optimizer infers isnotnull(doc_id) on the
+    # sh-side branch copies only (doc_id is a join key downstream) and not
+    # on the df-side copies, splitting the canonical postings exchange into
+    # TWO forms that AQE materialized separately — the r11 plan's residual
+    # double explode. With the filter on every copy, ALL branch exchanges
+    # are canonically identical and AQE stage reuse materializes the
+    # tokenize→explode→hash shuffle exactly ONCE per execution. Semantics:
+    # null-doc_id rows could previously count into df (never into output —
+    # the pair join and norm attaches are null-rejecting); the corpus
+    # schema has no null doc_ids, the oracle sweep hash-passes, and a
+    # null-keyed corpus would now get the strictly-more-sensible df
+    # (documents, not ghost rows) — accepted, same convention as q16's
+    # null-mask note.
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
-    ).filter(F.size("w") >= 3)
+    ).filter((F.size("w") >= 3) & F.col("doc_id").isNotNull())
     posts = toks.select(
         "doc_id",
         F.explode(

@@ -51,10 +51,32 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join afterwards removes bloom false positives — so the result is
     byte-identical to the plain join (the oracle), while at 100 TB the
     orders exchange carries only plausibly-matching rows. Reference anchor:
-    the user×pool work list vs history join, main.py:182-183."""
+    the user×pool work list vs history join, main.py:182-183.
+
+    r12 (guide §5 — keep data work off the driver; VERDICT r11 item 4):
+    the bloom is sized from the customer table's parquet-FOOTER row count
+    (``table_rows`` — a metadata read, no Spark job) instead of an
+    ``approx_count_distinct`` job over the filtered build side. The footer
+    count upper-bounds the filtered key count (~10x at this filter's
+    selectivity), which only enlarges the bitmap (fewer false positives);
+    past ~220k build rows the sizing crosses the re-measured
+    MAX_LITERAL_BITS and the SAME query auto-switches to the broadcast-
+    value bitmap (native_bloom_prefilter), whose plan is fully lazy — ZERO
+    plan-construction driver jobs where the r11 shape ran two (count +
+    bitmap collect). Measured sf10 (same session, results equal): r11
+    literal shape 12.8 s plan-build driver jobs + 2.5 s/exec → footer-
+    sized native 0.4 s build + 1.6 s/exec. sf0.1/sf1 stay on the literal
+    path (small bitmaps, one tiny collect; the literal test composes with
+    parquet pushdown). Results are identical in every regime — the exact
+    join removes whatever false positives the bloom admits."""
+    from ..sources.tables import table_rows
+
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
-    joined = bloom_prefilter_join(orders, cust, "o_custkey", "c_custkey", fpp=0.01)
+    joined = bloom_prefilter_join(
+        orders, cust, "o_custkey", "c_custkey", fpp=0.01,
+        expected_keys=table_rows(sf_dir, "customer"),
+    )
     return (
         joined.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(

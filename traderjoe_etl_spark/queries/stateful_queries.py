@@ -45,8 +45,15 @@ def stream_position_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     d = tempfile.mkdtemp(prefix="stateful_q_")
+    # r12 (guide §4 — pass only the columns the function needs): the
+    # stateful fold reads exactly (user_id, event_type, value), so only
+    # those three cross the temp-parquet write, the state-store shuffle,
+    # and the JVM→Python Arrow boundary. The previous 5-column feed also
+    # carried event_id + ts (unused by _update_position) through every
+    # stage — applyInPandasWithState ships ALL input columns to the Python
+    # worker because Spark cannot see which ones the function touches.
     events = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+        "user_id", "event_type", "value"
     )
     events.write.mode("overwrite").parquet(d)
     src = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)

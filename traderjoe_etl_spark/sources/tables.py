@@ -107,6 +107,42 @@ def table_ncols(sf_dir: str, name: str) -> int:
     return n
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one table from its parquet FOOTERS (pyarrow
+    metadata — no Spark job, no data pages read): the third CBO-role stat
+    beside ``table_bytes``/``table_ncols``. Callers use it as a driver-
+    side cardinality bound where a Spark count/approx_count_distinct job
+    would otherwise run at plan-construction time (e.g. sizing a Bloom
+    filter: an upper bound only makes the bitmap larger/less lossy, never
+    wrong). Cached per (sf_dir, table) with the same immutable-path rule
+    as the schema cache. Returns 0 when unknown (missing path/unreadable
+    footer) — callers fall back to their measured-count path."""
+    key = (os.path.abspath(sf_dir), f"__nrows__{name}")
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    n = 0
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(root, f)
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+            n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        n = 0
+    if n:  # don't cache a miss — the dir may be generated later in-process
+        _SCHEMA_CACHE[key] = n
+    return n
+
+
 def corpus_width(
     sf_dir: str,
     name: str,

@@ -56,6 +56,11 @@ def crawl_dedup_sink(
         spark = batch_df.sparkSession
         entries = minhash_band_entries(
             batch_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
+        )
+        # STORE_SCHEMA pins band_hash STRING across runs; non-portable
+        # families carry it as INT in-plan since r12 — cast at the boundary.
+        entries = entries.withColumn(
+            "band_hash", F.col("band_hash").cast("string")
         ).persist()
         try:
             try:
